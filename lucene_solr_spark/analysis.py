@@ -1,0 +1,136 @@
+"""Analysis chains: tokenize -> lowercase -> stop, Spark-first.
+
+The "standard" chain reproduces the reference's
+StandardAnalyzer = StandardTokenizer (UAX#29 word break, maxTokenLength
+255, over-long tokens skipped with position gap preserved) + LowerCase +
+Stop(33 English words), per:
+  - grammar: lucene/core/.../analysis/standard/StandardTokenizerImpl.jflex:103-262
+  - skip semantics: lucene/core/.../analysis/standard/StandardTokenizer.java:143-166
+  - stop set + chain order: lucene/core/.../analysis/standard/StandardAnalyzer.java:49-55,112-126
+  - StopFilter preserves position increments: lucene/core/.../analysis/StopFilter.java:28
+
+The tokenizer is a regex equivalent of the JFlex grammar restricted to
+the word-break classes that occur in source-code corpora (ALetter /
+Numeric / ExtendNumLet `_` / MidLetter-MidNumLet-SingleQuote between
+letters / MidNum-MidNumLet between digits). Validated against the
+FIXTURES.md golden cases mirrored from TestStandardAnalyzer.java.
+
+The "simple" chain (lowercase + split on [^a-z0-9]+) exists so the
+driver's DuckDB oracle can replicate tokenization in pure SQL; the
+engine treats analyzers as pluggable, like Lucene's Analyzer SPI.
+
+Everything is exposed both as plain-Python (for the pandas oracle) and
+as Arrow-batched pandas UDF factories (no per-row Python at the Spark
+row level).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Tuple
+
+import pandas as pd
+
+MAX_TOKEN_LENGTH = 255  # StandardAnalyzer.DEFAULT_MAX_TOKEN_LENGTH
+
+# 33-word English stop set (StandardAnalyzer.java:49-55).
+ENGLISH_STOP_WORDS = frozenset(
+    """a an and are as at be but by for if in into is it no not of on or
+    such that the their then there these they this to was will with""".split()
+)
+
+# UAX#29 word token, restricted:
+#   \w+ runs (ALetter|Numeric|ExtendNumLet get glued by WB5/8/9/10/13a/b),
+#   joined across single MidLetter/MidNumLet/SingleQuote between letters
+#   (WB6/7) or MidNum/MidNumLet/SingleQuote between digits (WB11/12).
+_TOKEN_RE = re.compile(
+    r"\w+"
+    r"(?:"
+    r"(?<=[^\W\d_])['.’·](?=[^\W\d_])\w+"  # letter (MidLetter|MidNumLet|') letter
+    r"|"
+    r"(?<=\d)[.,;'](?=\d)\w+"  # digit (MidNum|MidNumLet|') digit
+    r")*",
+    re.UNICODE,
+)
+
+
+def tokenize(text: str, max_token_length: int = MAX_TOKEN_LENGTH) -> List[Tuple[str, int]]:
+    """UAX#29-style tokenize -> [(raw_token, position)].
+
+    Tokens longer than max_token_length are skipped but their position
+    increment is preserved (StandardTokenizer.java:154-166), so the next
+    emitted token's position reflects the gap.
+    """
+    out: List[Tuple[str, int]] = []
+    pos = -1
+    for m in _TOKEN_RE.finditer(text):
+        pos += 1  # every scanned token advances the position counter
+        tok = m.group(0)
+        if len(tok) <= max_token_length:
+            out.append((tok, pos))
+    return out
+
+
+def standard_analyze(text: str) -> List[Tuple[str, int]]:
+    """tokenize -> lowercase -> stop; returns [(term, position)].
+
+    Positions keep gaps where stopwords (and over-long tokens) were
+    removed — load-bearing for phrase queries and for the BM25 field
+    length, which counts tokens EMITTED AFTER the stop filter
+    (DefaultIndexingChain.java:816-829).
+    """
+    out: List[Tuple[str, int]] = []
+    for tok, pos in tokenize(text):
+        low = tok.lower()
+        if low not in ENGLISH_STOP_WORDS:
+            out.append((low, pos))
+    return out
+
+
+def standard_field_length(text: str) -> int:
+    """BM25 field length = #tokens emitted after StopFilter (no overlaps
+    in this chain, so numOverlap == 0)."""
+    return len(standard_analyze(text))
+
+
+_SIMPLE_SPLIT_RE = re.compile(r"[^a-z0-9]+")
+
+
+def simple_analyze(text: str, stop: bool = False) -> List[str]:
+    """Lowercase + split on [^a-z0-9]+ (SQL-replicable analyzer)."""
+    toks = [t for t in _SIMPLE_SPLIT_RE.split(text.lower()) if t]
+    if stop:
+        toks = [t for t in toks if t not in ENGLISH_STOP_WORDS]
+    return toks
+
+
+# ---------------------------------------------------------------------------
+# Arrow-batched Spark UDF factories (imported lazily so the pure-Python
+# oracle never needs a JVM).
+# ---------------------------------------------------------------------------
+
+def analyze_batch(texts: pd.Series, analyzer: str) -> pd.Series:
+    """Vectorized (per-Arrow-batch) analysis: Series[str] ->
+    Series[list[dict(term,pos)]]."""
+    if analyzer == "standard":
+        return texts.map(
+            lambda t: [{"term": w, "pos": p} for w, p in standard_analyze(t or "")]
+        )
+    if analyzer == "simple":
+        return texts.map(
+            lambda t: [
+                {"term": w, "pos": p} for p, w in enumerate(simple_analyze(t or ""))
+            ]
+        )
+    raise ValueError(f"unknown analyzer: {analyzer}")
+
+
+def make_analyze_udf(analyzer: str = "standard"):
+    """pandas_udf: content string -> array<struct<term:string,pos:int>>."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<struct<term:string,pos:int>>")
+    def analyze_udf(texts: pd.Series) -> pd.Series:
+        return analyze_batch(texts, analyzer)
+
+    return analyze_udf

@@ -1,0 +1,95 @@
+"""Analyzer goldens (FIXTURES.md §3), mirrored from
+lucene/core/src/test/.../analysis/standard/TestStandardAnalyzer.java
+(assertAnalyzesTo style)."""
+
+from lucene_solr_spark.analysis import (
+    ENGLISH_STOP_WORDS,
+    simple_analyze,
+    standard_analyze,
+    standard_field_length,
+    tokenize,
+)
+
+
+def terms(text):
+    return [t for t, _ in standard_analyze(text)]
+
+
+def test_alphanum_and_num():
+    assert terms("Testing 1234") == ["testing", "1234"]
+
+
+def test_mixed_alnum():
+    assert terms("B2B 2B") == ["b2b", "2b"]
+
+
+def test_stop_and_lowercase():
+    assert terms("the quick Brown FOX") == ["quick", "brown", "fox"]
+
+
+def test_code_punctuation():
+    # UAX#29: word-internal '.' between letters joins (MidNumLet);
+    # '_' joins (ExtendNumLet); '(', ')', ';', '=' break.
+    assert terms("foo.bar(baz_qux); x=1") == ["foo.bar", "baz_qux", "x", "1"]
+
+
+def test_symbols_dropped():
+    assert terms("C++ C#") == ["c", "c"]
+
+
+def test_overlong_token_skipped_with_position_gap():
+    long_tok = "x" * 256
+    toks = standard_analyze(f"alpha {long_tok} beta")
+    assert [t for t, _ in toks] == ["alpha", "beta"]
+    positions = {t: p for t, p in toks}
+    assert positions["beta"] - positions["alpha"] == 2  # gap preserved
+
+
+def test_len_255_kept():
+    tok = "y" * 255
+    assert terms(f"a1 {tok}") == ["a1", tok]
+
+
+def test_unicode_armenian():
+    assert terms("Վիքիպեդիայի 13") == ["վիքիպեդիայի", "13"]
+
+
+def test_all_stopwords_removed_after_lowercase():
+    # pins the tokenize -> lowercase -> stop order
+    assert terms("AND OR NOT") == []
+
+
+def test_stopword_positions_preserved():
+    toks = standard_analyze("the quick and the dead")
+    # positions: the=0 quick=1 and=2 the=3 dead=4 -> emitted quick@1 dead@4
+    assert toks == [("quick", 1), ("dead", 4)]
+
+
+def test_field_length_counts_post_stop_tokens():
+    assert standard_field_length("the quick brown fox") == 3
+    assert standard_field_length("a an and") == 0
+
+
+def test_apostrophe_and_number_mids():
+    assert terms("don't stop") == ["don't", "stop"]
+    # ',' between digits is MidNum: '1,000' joins (WB11/12); 'v1' glues
+    # ALetter+Numeric (WB9), so 'v1,000' is ONE token per UAX#29.
+    assert terms("pi 3.14 v1,000") == ["pi", "3.14", "v1,000"]
+    # '.' between digit and letter breaks (MidNumLet needs same class)
+    assert terms("foo.123") == ["foo", "123"]
+    # '.' after '_' breaks (ExtendNumLet is not ALetter)
+    assert terms("foo_.bar") == ["foo_", "bar"]
+
+
+def test_stop_set_is_33():
+    assert len(ENGLISH_STOP_WORDS) == 33
+
+
+def test_tokenize_positions_monotonic():
+    toks = tokenize("a b c d")
+    assert [p for _, p in toks] == [0, 1, 2, 3]
+
+
+def test_simple_analyzer_sql_replicable():
+    assert simple_analyze("Foo.Bar(baz_qux); x=1") == ["foo", "bar", "baz", "qux", "x", "1"]
+    assert simple_analyze("The Quick", stop=True) == ["quick"]

@@ -1,0 +1,96 @@
+"""Compression property tests (FIXTURES.md §5): decode(encode(x)) == x
+for FOR-128 + VByte tail, incl. freq==1 low-bit folding and the df==1
+singleton pulse (Lucene50PostingsWriter.java:322-351 semantics)."""
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.codec import (
+    BLOCK_SIZE,
+    decode_block,
+    decode_posting_list,
+    encode_block,
+    encode_posting_list,
+    for_decode,
+    for_encode,
+    split_blocks,
+    vbyte_decode,
+    vbyte_encode,
+)
+
+RNG = np.random.default_rng(42)
+
+
+@pytest.mark.parametrize("n", [1, 5, 127, 128, 129, 1000, 100_000])
+@pytest.mark.parametrize("gaps", ["dense", "uniform", "heavy"])
+def test_posting_list_round_trip(n, gaps):
+    if gaps == "dense":
+        deltas = np.ones(n, dtype=np.int64)
+    elif gaps == "uniform":
+        deltas = RNG.integers(1, 1000, n)
+    else:
+        deltas = np.where(RNG.random(n) < 0.9, 1, RNG.integers(1, 10**6, n))
+    doc_ids = np.cumsum(deltas)
+    tfs = np.where(RNG.random(n) < 0.6, 1, RNG.integers(1, 500, n)).astype(np.int64)
+    blob = encode_posting_list(doc_ids, tfs)
+    d2, f2 = decode_posting_list(blob)
+    assert (d2 == doc_ids).all()
+    assert (f2 == tfs).all()
+
+
+def test_singleton_pulse_is_tiny():
+    blob = encode_posting_list(np.array([123456789]), np.array([7]))
+    assert len(blob) <= 24
+    d, f = decode_posting_list(blob)
+    assert list(d) == [123456789] and list(f) == [7]
+
+
+def test_for_round_trip_widths():
+    for width_max in [1, 2, 255, 2**16, 2**31]:
+        v = RNG.integers(0, width_max, 128).astype(np.uint64)
+        dec, used = for_decode(for_encode(v))
+        assert (dec == v).all()
+
+
+def test_for_compression_ratio_dense():
+    # deltas of 1 need 1 bit/value: 128 values ~ 16 bytes + header
+    blob = for_encode(np.ones(128, dtype=np.uint64))
+    assert len(blob) <= 16 + 5
+
+
+def test_vbyte_round_trip():
+    v = np.array([0, 1, 127, 128, 300, 2**20, 2**40], dtype=np.uint64)
+    blob = vbyte_encode(v)
+    dec, used = vbyte_decode(blob, len(v))
+    assert (dec == v).all()
+    assert used == len(blob)
+
+
+def test_block_round_trip_with_norms():
+    n = 200
+    doc_ids = np.cumsum(RNG.integers(1, 50, n))
+    tfs = RNG.integers(1, 20, n)
+    norms = RNG.integers(0, 256, n)
+    blob = encode_block(doc_ids, tfs, norms)
+    d, f, nb = decode_block(blob)
+    assert (d == doc_ids).all() and (f == tfs).all() and (nb == norms).all()
+
+
+def test_split_blocks_metadata():
+    n = 300
+    doc_ids = np.cumsum(RNG.integers(1, 10, n))
+    tfs = RNG.integers(1, 9, n)
+    norms = RNG.integers(0, 256, n)
+    lengths = norms.copy()  # monotone proxy: min length -> min_norm entry
+    blocks = split_blocks(doc_ids, tfs, norms, lengths)
+    assert [b["block_ord"] for b in blocks] == [0, 1, 2]
+    assert [b["n"] for b in blocks] == [128, 128, 44]
+    total_d, total_f = [], []
+    for b in blocks:
+        d, f, nb = decode_block(b["blob"])
+        assert b["min_doc"] == d[0] and b["max_doc"] == d[-1]
+        assert b["max_tf"] == f.max()
+        total_d.extend(d)
+        total_f.extend(f)
+    assert (np.array(total_d) == doc_ids).all()
+    assert (np.array(total_f) == tfs).all()
