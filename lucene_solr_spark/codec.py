@@ -176,20 +176,38 @@ def decode_posting_list(blob: bytes) -> Tuple[np.ndarray, np.ndarray]:
 # term: FOR-packed (doc deltas from base_doc, tfs, norm bytes).
 # ---------------------------------------------------------------------------
 
-def encode_block(doc_ids: np.ndarray, tfs: np.ndarray, norm_bytes: np.ndarray) -> bytes:
+def encode_block(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    norm_bytes: np.ndarray,
+    positions: np.ndarray | None = None,
+) -> bytes:
+    """positions: flat concatenation of each posting's sorted positions
+    (len == sum(tfs)); stored delta-encoded within each posting."""
     base = int(doc_ids[0])
     deltas = np.diff(np.asarray(doc_ids, dtype=np.int64), prepend=base).astype(np.uint64)
-    return (
-        struct.pack("<q", base)
+    out = (
+        struct.pack("<qB", base, 1 if positions is not None else 0)
         + for_encode(deltas)
         + for_encode(np.asarray(tfs, dtype=np.uint64))
         + for_encode(np.asarray(norm_bytes, dtype=np.uint64))
     )
+    if positions is not None:
+        pos = np.asarray(positions, dtype=np.int64)
+        # delta within each posting: subtract previous position, reset at
+        # posting starts (first position of each posting stays absolute)
+        d = np.diff(pos, prepend=0)
+        starts = np.zeros(len(pos), dtype=bool)
+        starts[np.cumsum(np.asarray(tfs, dtype=np.int64))[:-1]] = True
+        starts[0] = True
+        d = np.where(starts, pos, d).astype(np.uint64)
+        out += for_encode(d)
+    return out
 
 
 def decode_block(blob: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    (base,) = struct.unpack_from("<q", blob, 0)
-    off = 8
+    (base, _has_pos) = struct.unpack_from("<qB", blob, 0)
+    off = 9
     deltas, used = for_decode(blob, off)
     off += used
     tfs, used = for_decode(blob, off)
@@ -199,16 +217,58 @@ def decode_block(blob: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     return doc_ids, tfs.astype(np.int64), norms.astype(np.int64)
 
 
+def decode_block_positions(blob: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Like decode_block but also returns the flat positions array
+    (empty if the block was written without positions)."""
+    (base, has_pos) = struct.unpack_from("<qB", blob, 0)
+    off = 9
+    deltas, used = for_decode(blob, off)
+    off += used
+    tfs, used = for_decode(blob, off)
+    off += used
+    norms, used = for_decode(blob, off)
+    off += used
+    doc_ids = base + np.cumsum(deltas.astype(np.int64))
+    tfs_i = tfs.astype(np.int64)
+    if not has_pos:
+        return doc_ids, tfs_i, norms.astype(np.int64), np.array([], dtype=np.int64)
+    pd_, used = for_decode(blob, off)
+    d = pd_.astype(np.int64)
+    # invert the per-posting delta encoding: cumsum within posting spans
+    starts = np.zeros(len(d), dtype=bool)
+    if len(d):
+        starts[0] = True
+        starts[np.cumsum(tfs_i)[:-1]] = True
+    # vectorized segmented cumsum: pos = cumsum(d) - (cumsum before the
+    # posting's start). (g-d) at starts is monotone, so max-accumulate
+    # broadcasts each posting's base forward.
+    g = np.cumsum(d)
+    seg_base = np.maximum.accumulate(np.where(starts, g - d, -(2**62)))
+    return doc_ids, tfs_i, norms.astype(np.int64), g - seg_base
+
+
 def split_blocks(
-    doc_ids: np.ndarray, tfs: np.ndarray, norm_bytes: np.ndarray, lengths: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    norm_bytes: np.ndarray,
+    lengths: np.ndarray,
+    positions: np.ndarray | None = None,
     block_size: int = BLOCK_SIZE,
 ) -> List[dict]:
-    """Split one term's sorted postings into block rows with WAND metadata."""
+    """Split one term's sorted postings into block rows with WAND metadata.
+
+    positions: flat concat of each posting's sorted positions (len ==
+    sum(tfs)), or None to omit positions from the blocks.
+    """
     out = []
     n = len(doc_ids)
+    pos_offsets = np.concatenate([[0], np.cumsum(np.asarray(tfs, dtype=np.int64))])
     for lo in range(0, n, block_size):
         hi = min(lo + block_size, n)
         d, f, nb, ln = doc_ids[lo:hi], tfs[lo:hi], norm_bytes[lo:hi], lengths[lo:hi]
+        p = None
+        if positions is not None:
+            p = positions[pos_offsets[lo] : pos_offsets[hi]]
         out.append(
             {
                 "block_ord": lo // block_size,
@@ -216,8 +276,9 @@ def split_blocks(
                 "min_doc": int(d[0]),
                 "max_doc": int(d[-1]),
                 "max_tf": int(f.max()),
+                "sum_tf": int(f.sum()),
                 "min_norm": int(nb[int(np.argmin(ln))]),
-                "blob": encode_block(d, f, nb),
+                "blob": encode_block(d, f, nb, p),
             }
         )
     return out

@@ -1,0 +1,125 @@
+"""Segment manifest: the index's single source of truth.
+
+The Spark analog of Lucene's segments_N generation files
+(lucene/core/.../index/SegmentInfos.java:57-67,119,137) plus the
+per-partition lineage / counters the north rule requires for resume.
+
+Layout under <index_dir>/:
+  segments/<seg_name>/{postings.parquet, doc_meta.parquet, term_stats.parquet}
+  manifest/segments_<N>.json    immutable generation files
+  manifest/current              text file holding the live generation N
+
+Commit protocol (crash-safe on a posix fs; on object stores the
+production target is an Iceberg/metastore atomic swap):
+  1. segment data fully written (parquet _SUCCESS markers),
+  2. write segments_<N+1>.json via temp file + atomic rename,
+  3. flip manifest/current via temp file + atomic rename.
+A crash between any steps leaves the previous generation live; stale
+segment dirs are garbage, never corruption. Rebuilding a batch is
+idempotent: segment names are deterministic functions of the batch id.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+from dataclasses import asdict, dataclass, field
+from typing import Dict, List, Optional
+
+
+@dataclass
+class SegmentInfo:
+    name: str
+    doc_base: int
+    doc_count: int
+    sum_dl: int  # sum of post-stop field lengths (for global avgdl)
+    size_bytes: int
+    source_batch: str
+    n_deleted: int = 0
+
+
+@dataclass
+class Manifest:
+    generation: int = 0
+    segments: List[SegmentInfo] = field(default_factory=list)
+    # lineage: one entry per completed build/merge step (counters +
+    # watermarks so a 10^12-file build resumes mid-merge)
+    lineage: List[dict] = field(default_factory=list)
+
+    @property
+    def total_docs(self) -> int:
+        return sum(s.doc_count for s in self.segments)
+
+    @property
+    def sum_dl(self) -> int:
+        return sum(s.sum_dl for s in self.segments)
+
+    def completed_batches(self) -> set:
+        return {s.source_batch for s in self.segments} | {
+            e["batch"] for e in self.lineage if e.get("kind") == "build"
+        }
+
+
+def _atomic_write(path: str, data: str) -> None:
+    d = os.path.dirname(path)
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d)
+    with os.fdopen(fd, "w") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+class ManifestStore:
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self.mdir = os.path.join(index_dir, "manifest")
+
+    def current_generation(self) -> int:
+        cur = os.path.join(self.mdir, "current")
+        if not os.path.exists(cur):
+            return 0
+        with open(cur) as f:
+            return int(f.read().strip())
+
+    def load(self) -> Manifest:
+        gen = self.current_generation()
+        if gen == 0:
+            return Manifest()
+        with open(os.path.join(self.mdir, f"segments_{gen}.json")) as f:
+            raw = json.load(f)
+        return Manifest(
+            generation=raw["generation"],
+            segments=[SegmentInfo(**s) for s in raw["segments"]],
+            lineage=raw.get("lineage", []),
+        )
+
+    def commit(self, manifest: Manifest, lineage_entry: Optional[dict] = None) -> Manifest:
+        """Two-phase commit: write next-generation file, flip pointer."""
+        gen = self.current_generation() + 1
+        manifest.generation = gen
+        if lineage_entry is not None:
+            lineage_entry = dict(lineage_entry, committed_at=time.time(), generation=gen)
+            manifest.lineage.append(lineage_entry)
+        payload = json.dumps(
+            {
+                "generation": gen,
+                "segments": [asdict(s) for s in manifest.segments],
+                "lineage": manifest.lineage,
+                "counters": {
+                    "total_docs": manifest.total_docs,
+                    "sum_dl": manifest.sum_dl,
+                    "n_segments": len(manifest.segments),
+                },
+            },
+            indent=1,
+        )
+        _atomic_write(os.path.join(self.mdir, f"segments_{gen}.json"), payload)
+        _atomic_write(os.path.join(self.mdir, "current"), str(gen))
+        return manifest
+
+    def segment_dir(self, name: str) -> str:
+        return os.path.join(self.index_dir, "segments", name)

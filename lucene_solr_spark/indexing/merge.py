@@ -1,0 +1,292 @@
+"""Log-structured tiered segment merge.
+
+Policy is a faithful port of the reference's scoring math
+(lucene/core/.../index/TieredMergePolicy.java:96-103 defaults,
+score():566-610: skew × totAfterMergeBytes^0.05 × nonDelRatio², lower
+is better; allowed-segment budget per tier) — the mechanism is ours:
+the driver picks candidate sets and runs each merge as a Spark job that
+unions the segments' postings blocks, decodes, re-sorts and re-packs.
+
+Because docIDs are GLOBAL in this engine (assigned once at build from
+the canonical (repo, path) order and never remapped), a merge is a pure
+re-layout: no DocIDMerger analog is needed, resume is trivial (the
+merged segment's name is a deterministic function of its inputs; the
+manifest swap is the only commit point), and query results are
+byte-identical before and after any merge.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import shutil
+import time
+from typing import Iterator, List, Optional
+
+import numpy as np
+import pandas as pd
+
+from ..codec import decode_block_positions, split_blocks
+from .builder import POSTINGS_SCHEMA, _pack_partition
+from .manifest import Manifest, ManifestStore, SegmentInfo
+
+# TieredMergePolicy.java:96-101 defaults
+MAX_MERGE_AT_ONCE = 10
+SEGS_PER_TIER = 10.0
+MAX_MERGED_SEGMENT_BYTES = 5 * 1024**3
+FLOOR_SEGMENT_BYTES = 2 * 1024**2
+
+
+def _floor_size(bytes_: int) -> int:
+    return max(FLOOR_SEGMENT_BYTES, bytes_)
+
+
+def merge_score(candidate: List[SegmentInfo], hit_too_large: bool) -> float:
+    """TieredMergePolicy.score():566-610 — lower is better."""
+    tot_after = sum(s.size_bytes for s in candidate)
+    tot_after_floored = sum(_floor_size(s.size_bytes) for s in candidate)
+    if hit_too_large:
+        skew = 1.0 / min(MAX_MERGE_AT_ONCE, SEGS_PER_TIER)
+    else:
+        skew = _floor_size(candidate[0].size_bytes) / tot_after_floored
+    score = skew * math.pow(tot_after, 0.05)
+    non_del_ratio = 1.0  # no deletes in v1; nonDelRatio² term kept for parity
+    score *= math.pow(non_del_ratio, 2)
+    return score
+
+
+def find_merges(segments: List[SegmentInfo]) -> Optional[List[SegmentInfo]]:
+    """One round of the findMerges loop (TieredMergePolicy.java:~420-560,
+    simplified to the essential algorithm): if the segment count exceeds
+    the tier budget, score all contiguous windows (size-sorted, up to
+    maxMergeAtOnce, byte-capped) and return the best candidate."""
+    if len(segments) < 2:
+        return None
+    by_size = sorted(segments, key=lambda s: -s.size_bytes)
+    tot_bytes = sum(_floor_size(s.size_bytes) for s in by_size)
+    # allowed segment budget: segsPerTier per exponential tier
+    level = FLOOR_SEGMENT_BYTES
+    allowed = 0.0
+    remaining = tot_bytes
+    while True:
+        seg_count_level = remaining / level
+        if seg_count_level < SEGS_PER_TIER:
+            allowed += math.ceil(seg_count_level)
+            break
+        allowed += SEGS_PER_TIER
+        remaining -= SEGS_PER_TIER * level
+        level *= MAX_MERGE_AT_ONCE
+    if len(segments) <= max(2.0, allowed):
+        return None
+
+    best, best_score = None, None
+    for start in range(len(by_size)):
+        candidate: List[SegmentInfo] = []
+        tot = 0
+        hit_too_large = False
+        for s in by_size[start:]:
+            if tot + s.size_bytes > MAX_MERGED_SEGMENT_BYTES:
+                hit_too_large = True
+                continue
+            candidate.append(s)
+            tot += s.size_bytes
+            if len(candidate) >= MAX_MERGE_AT_ONCE:
+                break
+        if len(candidate) < 2:
+            continue
+        sc = merge_score(candidate, hit_too_large)
+        if best_score is None or sc < best_score:
+            best, best_score = candidate, sc
+    return best
+
+
+def merged_segment_name(inputs: List[SegmentInfo]) -> str:
+    h = hashlib.sha1("|".join(sorted(s.name for s in inputs)).encode()).hexdigest()[:12]
+    return f"seg_m_{h}"
+
+
+def run_merge(spark, store: ManifestStore, manifest: Manifest,
+              inputs: List[SegmentInfo], num_partitions: Optional[int] = None) -> Manifest:
+    """Execute one merge as a Spark job + manifest swap. Idempotent: the
+    output dir name is deterministic, data writes are overwrite-by-name,
+    and the manifest commit is the only visibility point — a crash at
+    any moment leaves the old generation live (kill/resume test relies
+    on this)."""
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    parts = num_partitions or spark.sparkContext.defaultParallelism
+    name = merged_segment_name(inputs)
+    out_dir = store.segment_dir(name)
+    in_dirs = [store.segment_dir(s.name) for s in inputs]
+
+    blocks = spark.read.parquet(*[f"{d}/postings.parquet" for d in in_dirs])
+    has_positions = _segment_has_positions(spark, in_dirs[0])
+
+    def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {"term": [], "doc_id": [], "norm": [], "tf": [], "pos_blob": []}
+            for term, blob in zip(pdf["term"], pdf["blob"]):
+                d, f, nb, pos = decode_block_positions(bytes(blob))
+                cols["term"].append(np.full(len(d), term, dtype=object))
+                cols["doc_id"].append(d)
+                cols["norm"].append(nb)
+                cols["tf"].append(f)
+                if has_positions:
+                    off = np.concatenate([[0], np.cumsum(f)])
+                    cols["pos_blob"].append(
+                        [pos[off[i]:off[i + 1]].tolist() for i in range(len(d))]
+                    )
+            if cols["doc_id"]:
+                out = {
+                    "term": np.concatenate(cols["term"]),
+                    "doc_id": np.concatenate(cols["doc_id"]),
+                    "norm": np.concatenate(cols["norm"]),
+                    "tf": np.concatenate(cols["tf"]),
+                }
+                if has_positions:
+                    out["positions"] = [p for sub in cols["pos_blob"] for p in sub]
+                yield pd.DataFrame(out)
+
+    schema = "term string, doc_id long, norm int, tf long"
+    if has_positions:
+        schema += ", positions array<int>"
+    postings = blocks.mapInPandas(unpack, schema=schema)
+
+    # same chunk-salted shuffle + sorted pack as the builder
+    shuffled = (
+        postings.withColumn("chunk", F.shiftright("doc_id", 13))
+        .repartition(parts, "term", "chunk")
+        .sortWithinPartitions("term", "doc_id")
+        .drop("chunk")
+    )
+    repacked = shuffled.mapInPandas(
+        lambda it: _repack_aggregated(it, has_positions), schema=POSTINGS_SCHEMA
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    repacked.write.mode("overwrite").parquet(os.path.join(out_dir, "postings.parquet"))
+
+    new_blocks = spark.read.parquet(os.path.join(out_dir, "postings.parquet"))
+    new_blocks.groupBy("term").agg(
+        F.sum("n").alias("df"), F.sum("sum_tf").alias("ttf")
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "term_stats.parquet"))
+
+    spark.read.parquet(*[f"{d}/doc_meta.parquet" for d in in_dirs]).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "doc_meta.parquet"))
+
+    size_bytes = sum(
+        os.path.getsize(os.path.join(dp, fn))
+        for dp, _, fns in os.walk(out_dir)
+        for fn in fns
+    )
+    merged_info = SegmentInfo(
+        name=name,
+        doc_base=min(s.doc_base for s in inputs),
+        doc_count=sum(s.doc_count for s in inputs),
+        sum_dl=sum(s.sum_dl for s in inputs),
+        size_bytes=size_bytes,
+        source_batch=f"merge:{'+'.join(s.source_batch for s in inputs)}",
+    )
+    in_names = {s.name for s in inputs}
+    manifest.segments = [s for s in manifest.segments if s.name not in in_names]
+    manifest.segments.append(merged_info)
+    manifest.segments.sort(key=lambda s: s.doc_base)
+    manifest = store.commit(
+        manifest,
+        lineage_entry={
+            "kind": "merge",
+            "inputs": sorted(in_names),
+            "output": name,
+            "wall_s": time.time() - t0,
+        },
+    )
+    # old segment dirs are now garbage; reclaim (safe post-commit)
+    for d in in_dirs:
+        shutil.rmtree(d, ignore_errors=True)
+    return manifest
+
+
+def _repack_aggregated(batches: Iterator[pd.DataFrame], with_positions: bool) -> Iterator[pd.DataFrame]:
+    """Re-block already-aggregated (term, doc_id, norm, tf[, positions])
+    rows. Unlike the builder's raw-token packer, (term, doc) pairs are
+    unique here (each doc lived in exactly one input segment)."""
+    from ..codec import BLOCK_SIZE
+
+    cur_term = None
+    docs: List[int] = []
+    tfs: List[int] = []
+    norms: List[int] = []
+    poss: List[list] = []
+    out: List[dict] = []
+
+    def flush(final: bool) -> None:
+        nonlocal docs, tfs, norms, poss
+        n = len(docs)
+        cut = n if final else (n // BLOCK_SIZE) * BLOCK_SIZE
+        if cut <= 0:
+            return
+        p = None
+        if with_positions:
+            p = np.concatenate([np.asarray(x, dtype=np.int64) for x in poss[:cut]]) if cut else None
+        for blk in split_blocks(
+            np.asarray(docs[:cut], dtype=np.int64),
+            np.asarray(tfs[:cut], dtype=np.int64),
+            np.asarray(norms[:cut], dtype=np.int64),
+            np.asarray(norms[:cut], dtype=np.int64),
+            p,
+        ):
+            out.append({"term": cur_term, **{k: blk[k] for k in (
+                "n", "min_doc", "max_doc", "max_tf", "sum_tf", "min_norm", "blob")}})
+        del docs[:cut], tfs[:cut], norms[:cut]
+        if with_positions:
+            del poss[:cut]
+
+    for pdf in batches:
+        for term, g in pdf.groupby("term", sort=False):
+            if term != cur_term:
+                flush(final=True)
+                cur_term = term
+            docs.extend(int(x) for x in g["doc_id"])
+            tfs.extend(int(x) for x in g["tf"])
+            norms.extend(int(x) for x in g["norm"])
+            if with_positions:
+                poss.extend(g["positions"].tolist())
+            flush(final=False)
+        if out:
+            yield pd.DataFrame(out)
+            out = []
+    flush(final=True)
+    if out:
+        yield pd.DataFrame(out)
+
+
+def _segment_has_positions(spark, seg_dir: str) -> bool:
+    row = spark.read.parquet(f"{seg_dir}/postings.parquet").select("blob").head(1)
+    if not row:
+        return False
+    return bytes(row[0]["blob"])[8] == 1
+
+
+def maybe_merge(spark, index_dir: str, max_rounds: int = 100) -> Manifest:
+    """Driver-side merge loop: apply the tiered policy until no merge is
+    selected (ConcurrentMergeScheduler analog, run synchronously)."""
+    store = ManifestStore(index_dir)
+    manifest = store.load()
+    for _ in range(max_rounds):
+        cand = find_merges(manifest.segments)
+        if not cand:
+            break
+        manifest = run_merge(spark, store, manifest, cand)
+    return manifest
+
+
+def force_merge(spark, index_dir: str, max_segments: int = 1) -> Manifest:
+    """forceMerge analog: merge everything down to max_segments."""
+    store = ManifestStore(index_dir)
+    manifest = store.load()
+    while len(manifest.segments) > max_segments:
+        group = manifest.segments[: max(2, min(MAX_MERGE_AT_ONCE, len(manifest.segments)))]
+        manifest = run_merge(spark, store, manifest, group)
+    return manifest

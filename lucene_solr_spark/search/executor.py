@@ -1,0 +1,596 @@
+"""Query executor: Query AST -> DataFrame plan -> top-k.
+
+Execution mirrors the reference's search lifecycle (SURVEY §3.1) with
+partitions playing segment leaves:
+
+  rewrite fixpoint           -> queryast.rewrite + Spark-side term-dict
+                                expansion (MultiTermQuery.java:94-116)
+  weight creation / stats    -> one small aggregate over per-segment
+                                term_stats, broadcast (TermQuery.java:65-66;
+                                the ExactStatsCache analog — stats are
+                                GLOBAL, never per-partition)
+  per-leaf scoring           -> block filter (term pushdown) -> Arrow
+                                decode+score UDF (vectorized numpy)
+  boolean composition        -> ONE hash aggregation per boolean node:
+                                conditional per-clause sums + match
+                                counters (Boolean2ScorerSupplier.java:92-113
+                                occur buckets; BooleanScorer.java windowed
+                                accumulation == Spark hash agg)
+  collector / merge          -> orderBy(score desc, doc_id asc).limit(k)
+                                == TakeOrderedAndProject (per-partition
+                                heaps + driver merge; TopDocs.merge)
+
+Two scoring precisions:
+  float32  — bit-parity with Lucene (BM25Similarity float math); per-term
+             score float32, clause sums accumulate float64 -> cast float32.
+  float64  — all-double arithmetic with a fixed operation order, used by
+             the SQL-checked query surface (bit-reproducible vs DuckDB).
+
+Pruning (block metadata = the skip-list/WAND analog, SURVEY §4):
+  - conjunctions: chunk-granular block intersection before decode —
+    blocks of a MUST term whose doc-range chunk contains no block of
+    every other MUST term are skipped (leapfrog/skip-list analog).
+  - single-term top-k: block-max pruning — blocks whose upper-bound
+    score can't reach the running threshold are never decoded
+    (rank-safe; Ding & Suel 2011 block-max bounds).
+All pruned paths are shadow-verified against exhaustive scoring in tests.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+from .. import bm25
+from ..codec import decode_block, decode_block_positions
+from ..indexing.manifest import ManifestStore
+from ..queryast import (
+    BooleanQuery,
+    BooleanClause,
+    DisjunctionMaxQuery,
+    MatchAllDocsQuery,
+    MatchNoDocsQuery,
+    MultiTermQuery,
+    Occur,
+    PhraseQuery,
+    Query,
+    SynonymQuery,
+    TermInSetQuery,
+    TermQuery,
+    query_terms,
+    rewrite,
+)
+
+CHUNK_BITS = 13
+
+
+class IndexReader:
+    """Unified view over the live segments of an index."""
+
+    def __init__(self, spark, index_dir: str, norms: str = "byte"):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.norms = norms
+        self.store = ManifestStore(index_dir)
+        self.manifest = self.store.load()
+        if not self.manifest.segments:
+            raise ValueError(f"no live segments in {index_dir}")
+        self.doc_count = self.manifest.total_docs
+        self.sum_dl = self.manifest.sum_dl
+        segs = [self.store.segment_dir(s.name) for s in self.manifest.segments]
+        self.blocks = spark.read.parquet(*[f"{d}/postings.parquet" for d in segs])
+        self.stats = spark.read.parquet(*[f"{d}/term_stats.parquet" for d in segs])
+        self.doc_meta = spark.read.parquet(*[f"{d}/doc_meta.parquet" for d in segs])
+
+    def term_stats(self, terms: List[str]) -> Dict[str, Tuple[int, int]]:
+        """Global (df, ttf) per term — summed across segments, collected
+        to the driver (|terms| rows), broadcast into scoring UDFs."""
+        from pyspark.sql import functions as F
+
+        if not terms:
+            return {}
+        rows = (
+            self.stats.where(F.col("term").isin(list(terms)))
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
+            .collect()
+        )
+        return {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
+
+    def expand(self, q: MultiTermQuery, max_terms: int = 4096) -> List[str]:
+        """Expand a multi-term query against the distinct-terms table
+        with the predicate pushed into Spark (BlockTree intersect analog:
+        the scan prunes on the term column's parquet min/max stats)."""
+        from pyspark.sql import functions as F
+
+        t = F.col("term")
+        if q.kind == "prefix":
+            cond = t.startswith(q.pattern)
+        elif q.kind == "wildcard":
+            rx = "".join(
+                ".*" if c == "*" else "." if c == "?" else _re_escape(c)
+                for c in q.pattern
+            )
+            cond = t.rlike(f"^{rx}$")
+        elif q.kind == "regexp":
+            cond = t.rlike(f"^{q.pattern}$")
+        elif q.kind == "range":
+            cond = F.lit(True)
+            if q.pattern is not None:
+                cond = cond & (t >= q.pattern if q.include_lower else t > q.pattern)
+            if q.upper is not None:
+                cond = cond & (t <= q.upper if q.include_upper else t < q.upper)
+        elif q.kind == "fuzzy":
+            cond = (F.length(t) >= len(q.pattern) - q.max_edits) & (
+                F.length(t) <= len(q.pattern) + q.max_edits
+            ) & (F.levenshtein(t, F.lit(q.pattern)) <= q.max_edits)
+        else:
+            raise ValueError(q.kind)
+        rows = (
+            self.stats.select("term").where(cond).distinct().limit(max_terms).collect()
+        )
+        return sorted(r["term"] for r in rows)
+
+
+class Searcher:
+    def __init__(self, reader: IndexReader, precision: str = "float32"):
+        self.reader = reader
+        self.precision = precision
+
+    # -- weights ------------------------------------------------------------
+
+    def _weights(self, terms_with_boost: List[Tuple[str, float]]):
+        """Per-term scoring constants; float32 Lucene-style or float64."""
+        stats = self.reader.term_stats(sorted({t for t, _ in terms_with_boost}))
+        n = self.reader.doc_count
+        sttf = self.reader.sum_dl
+        out = {}
+        for term, boost in terms_with_boost:
+            df, _ = stats.get(term, (0, 0))
+            if self.precision == "float32":
+                tw = bm25.make_term_weight(term, df, n, sttf, boost)
+                out[(term, boost)] = {
+                    "wv": float(tw.weight_value),
+                    "cache": tw.cache.tolist(),
+                    "avgdl32": float(bm25.avg_field_length(sttf, n)),
+                    "df": df,
+                }
+            else:
+                idf = math.log(1 + (n - df + 0.5) / (df + 0.5)) if df > 0 else 0.0
+                avgdl = sttf / n
+                out[(term, boost)] = {"idf": idf, "avgdl": avgdl, "df": df, "boost": boost}
+        return out
+
+    # -- leaf scoring: decode blocks -> (clause_id, doc_id, score) ----------
+
+    def _score_terms(self, clause_terms: List[Tuple[int, str, float]], blocks_df=None):
+        """clause_terms: (clause_id, term, boost). Returns DataFrame
+        (clause_id int, doc_id long, score double). Scores are exact
+        float32 values widened to double (float32 mode) or pure doubles
+        (float64 mode) — downstream sums happen in double either way."""
+        from pyspark.sql import functions as F
+
+        spark = self.reader.spark
+        weights = self._weights([(t, b) for _, t, b in clause_terms])
+        by_term: Dict[str, List[Tuple[int, float]]] = {}
+        for cid, t, b in clause_terms:
+            by_term.setdefault(t, []).append((cid, b))
+        precision = self.precision
+        norms_mode = self.reader.norms
+        k1 = 1.2
+        b_ = 0.75
+        bc = spark.sparkContext.broadcast(
+            {
+                "by_term": by_term,
+                "weights": {f"{t}\x00{b}": w for (t, b), w in weights.items()},
+            }
+        )
+
+        def decode_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            info = bc.value
+            for pdf in batches:
+                out_cid, out_doc, out_score = [], [], []
+                for term, blob in zip(pdf["term"], pdf["blob"]):
+                    doc_ids, tfs, norms = decode_block(bytes(blob))
+                    for cid, boost in info["by_term"][term]:
+                        w = info["weights"][f"{term}\x00{boost}"]
+                        if precision == "float32":
+                            if norms_mode == "byte":
+                                cache = np.asarray(w["cache"], dtype=np.float32)
+                                nv = cache[norms & 0xFF]
+                            else:
+                                # exact lengths stored: float32 norm from dl
+                                nv = _norm32(norms, w["avgdl32"])
+                            freq = tfs.astype(np.float32)
+                            sc = (
+                                (np.float32(w["wv"]) * freq) / (freq + nv)
+                            ).astype(np.float32).astype(np.float64)
+                        else:
+                            dl = norms.astype(np.float64)
+                            freq = tfs.astype(np.float64)
+                            denom = freq + k1 * (1 - b_ + b_ * dl / w["avgdl"])
+                            sc = w["idf"] * (freq * (k1 + 1)) / denom * w["boost"]
+                        out_cid.append(np.full(len(doc_ids), cid, dtype=np.int32))
+                        out_doc.append(doc_ids)
+                        out_score.append(sc)
+                if out_doc:
+                    yield pd.DataFrame(
+                        {
+                            "clause_id": np.concatenate(out_cid),
+                            "doc_id": np.concatenate(out_doc),
+                            "score": np.concatenate(out_score),
+                        }
+                    )
+
+        src = blocks_df if blocks_df is not None else self.reader.blocks
+        terms = list(by_term.keys())
+        filtered = src.where(F.col("term").isin(terms))
+        return filtered.mapInPandas(
+            decode_score, schema="clause_id int, doc_id long, score double"
+        )
+
+    # -- phrase leaf ---------------------------------------------------------
+
+    def _score_phrase(self, cid: int, q: PhraseQuery, boost: float):
+        """Exact phrase (slop=0): decode positions, per-doc consecutive
+        intersection in one applyInPandas; tf = #phrase occurrences; idf
+        = sum of per-term idfs (BM25Similarity.idfExplain array)."""
+        from pyspark.sql import functions as F
+
+        spark = self.reader.spark
+        terms = list(q.terms)
+        n = self.reader.doc_count
+        sttf = self.reader.sum_dl
+        stats = self.reader.term_stats(terms)
+        if any(stats.get(t, (0, 0))[0] == 0 for t in terms):
+            return spark.createDataFrame([], "clause_id int, doc_id long, score double")
+        idf_sum32 = np.float32(
+            float(
+                np.sum(
+                    np.array(
+                        [float(bm25.idf(stats[t][0], n)) for t in terms], dtype=np.float64
+                    )
+                )
+            )
+        )
+        weight_value = float(np.float32(np.float32(idf_sum32 * np.float32(boost)) * (bm25.K1 + np.float32(1.0))))
+        avgdl32 = bm25.avg_field_length(sttf, n)
+        cache = bm25.norm_cache(avgdl32).tolist()
+        idf_sum64 = sum(
+            math.log(1 + (n - stats[t][0] + 0.5) / (stats[t][0] + 0.5)) for t in terms
+        )
+        avgdl64 = sttf / n
+        precision = self.precision
+        norms_mode = self.reader.norms
+        term_idx = {t: i for i, t in enumerate(terms)}
+        bc = spark.sparkContext.broadcast(
+            {"terms": terms, "cache": cache, "wv": weight_value,
+             "avgdl32": float(avgdl32),
+             "idf64": idf_sum64, "avgdl64": avgdl64, "boost": boost}
+        )
+
+        def decode_pos(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = {"doc_id": [], "tidx": [], "norm": [], "positions": []}
+                for term, blob in zip(pdf["term"], pdf["blob"]):
+                    doc_ids, tfs, norms, pos = decode_block_positions(bytes(blob))
+                    off = 0
+                    ti = term_idx[term]
+                    for d, tf, nb in zip(doc_ids, tfs, norms):
+                        rows["doc_id"].append(int(d))
+                        rows["tidx"].append(ti)
+                        rows["norm"].append(int(nb))
+                        rows["positions"].append(pos[off : off + tf].tolist())
+                        off += tf
+                if rows["doc_id"]:
+                    yield pd.DataFrame(rows)
+
+        per_term = (
+            self.reader.blocks.where(F.col("term").isin(terms))
+            .mapInPandas(decode_pos, "doc_id long, tidx int, norm int, positions array<int>")
+        )
+
+        n_terms = len(terms)
+
+        def phrase_freq(pdf: pd.DataFrame) -> pd.DataFrame:
+            info = bc.value
+            by_t = {int(t): p for t, p in zip(pdf["tidx"], pdf["positions"])}
+            if len(by_t) < n_terms:
+                return pd.DataFrame({"doc_id": [], "score": []})
+            first = by_t[0]
+            count = 0
+            others = [set(by_t[i]) for i in range(1, n_terms)]
+            for p in first:
+                if all((p + k + 1) in others[k] for k in range(n_terms - 1)):
+                    count += 1
+            if count == 0:
+                return pd.DataFrame({"doc_id": [], "score": []})
+            norm_b = int(pdf["norm"].iloc[0])
+            if precision == "float32":
+                if norms_mode == "byte":
+                    cache_arr = np.asarray(info["cache"], dtype=np.float32)
+                    nv = cache_arr[norm_b & 0xFF]
+                else:
+                    nv = _norm32(np.array([norm_b]), info["avgdl32"])[0]
+                freq = np.float32(count)
+                sc = float(np.float32((np.float32(info["wv"]) * freq) / (freq + nv)))
+            else:
+                dl = float(norm_b)
+                denom = count + 1.2 * (1 - 0.75 + 0.75 * dl / info["avgdl64"])
+                sc = info["idf64"] * (count * 2.2) / denom * info["boost"]
+            return pd.DataFrame({"doc_id": [int(pdf["doc_id"].iloc[0])], "score": [sc]})
+
+        scored = per_term.groupBy("doc_id").applyInPandas(
+            phrase_freq, "doc_id long, score double"
+        )
+        return scored.select(F.lit(cid).cast("int").alias("clause_id"), "doc_id", "score")
+
+    # -- boolean composition --------------------------------------------------
+
+    def _eval(self, q: Query, boost: float):
+        """Returns DataFrame (doc_id long, score double) of matching docs.
+        Score is the float32-exact (widened) or float64 node score."""
+        from pyspark.sql import functions as F
+
+        spark = self.reader.spark
+        b = boost * q.boost
+        if isinstance(q, MatchNoDocsQuery):
+            return spark.createDataFrame([], "doc_id long, score double")
+        if isinstance(q, MatchAllDocsQuery):
+            return self.reader.doc_meta.select(
+                "doc_id", F.lit(float(np.float32(b)) if self.precision == "float32" else float(b)).alias("score")
+            )
+        if isinstance(q, TermQuery):
+            df = self._score_terms([(0, q.term, b)])
+            return df.select("doc_id", "score")
+        if isinstance(q, TermInSetQuery):
+            const = float(np.float32(b)) if self.precision == "float32" else float(b)
+            df = self._score_terms([(0, t, 1.0) for t in q.terms])
+            return df.select("doc_id").distinct().select(
+                "doc_id", F.lit(const).alias("score")
+            )
+        if isinstance(q, SynonymQuery):
+            return self._eval_synonym(q, b)
+        if isinstance(q, PhraseQuery):
+            return self._score_phrase(0, q, b).select("doc_id", "score")
+        if isinstance(q, DisjunctionMaxQuery):
+            parts = []
+            for i, d in enumerate(q.disjuncts):
+                parts.append(self._eval(d, b).select("doc_id", F.col("score"), F.lit(i).alias("cid")))
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.unionByName(p)
+            tb = float(q.tie_breaker)
+            agg = u.groupBy("doc_id").agg(
+                F.max("score").alias("mx"), F.sum("score").alias("sm")
+            )
+            expr = F.col("mx") + F.lit(tb) * (F.col("sm") - F.col("mx"))
+            if self.precision == "float32":
+                expr = expr.cast("float").cast("double")
+            return agg.select("doc_id", expr.alias("score"))
+        if isinstance(q, BooleanQuery):
+            return self._eval_boolean(q, b)
+        raise TypeError(f"unsupported query node: {q!r}")
+
+    def _eval_synonym(self, q: SynonymQuery, boost: float):
+        """Blended stats: df = max over terms; tf summed per doc
+        (SynonymQuery.java:47)."""
+        from pyspark.sql import functions as F
+
+        spark = self.reader.spark
+        stats = self.reader.term_stats(list(q.terms))
+        df_blend = max((stats.get(t, (0, 0))[0] for t in q.terms), default=0)
+        if df_blend == 0:
+            return spark.createDataFrame([], "doc_id long, score double")
+        n, sttf = self.reader.doc_count, self.reader.sum_dl
+        precision = self.precision
+        norms_mode = self.reader.norms
+        if precision == "float32":
+            tw = bm25.make_term_weight("syn", df_blend, n, sttf, boost)
+            wv, cache = float(tw.weight_value), tw.cache.tolist()
+            idf64 = avgdl64 = 0.0
+        else:
+            wv, cache = 0.0, []
+            idf64 = math.log(1 + (n - df_blend + 0.5) / (df_blend + 0.5))
+            avgdl64 = sttf / n
+        avgdl32 = float(bm25.avg_field_length(sttf, n))
+
+        def decode_tf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                docs, tfs, nbs = [], [], []
+                for blob in pdf["blob"]:
+                    d, f, nb = decode_block(bytes(blob))
+                    docs.append(d)
+                    tfs.append(f)
+                    nbs.append(nb)
+                if docs:
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": np.concatenate(docs),
+                            "tf": np.concatenate(tfs),
+                            "norm": np.concatenate(nbs),
+                        }
+                    )
+
+        per_doc = (
+            self.reader.blocks.where(F.col("term").isin(list(q.terms)))
+            .mapInPandas(decode_tf, "doc_id long, tf long, norm int")
+            .groupBy("doc_id")
+            .agg(F.sum("tf").alias("tf"), F.first("norm").alias("norm"))
+        )
+        bc = self.reader.spark.sparkContext.broadcast(
+            {"wv": wv, "cache": cache, "avgdl32": avgdl32,
+             "idf64": idf64, "avgdl64": avgdl64, "boost": boost}
+        )
+
+        def score_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            info = bc.value
+            for pdf in batches:
+                tf = pdf["tf"].to_numpy(dtype=np.int64)
+                nb = pdf["norm"].to_numpy(dtype=np.int64)
+                if precision == "float32":
+                    if norms_mode == "byte":
+                        cache_arr = np.asarray(info["cache"], dtype=np.float32)
+                        nv = cache_arr[nb & 0xFF]
+                    else:
+                        nv = _norm32(nb, info["avgdl32"])
+                    freq = tf.astype(np.float32)
+                    sc = ((np.float32(info["wv"]) * freq) / (freq + nv)).astype(np.float32).astype(np.float64)
+                else:
+                    dl = nb.astype(np.float64)
+                    denom = tf + 1.2 * (1 - 0.75 + 0.75 * dl / info["avgdl64"])
+                    sc = info["idf64"] * (tf * 2.2) / denom * info["boost"]
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "score": sc})
+
+        return per_doc.mapInPandas(score_rows, "doc_id long, score double")
+
+    def _eval_boolean(self, q: BooleanQuery, boost: float):
+        """One hash aggregation: per-clause conditional sums (fixed
+        summation order across clause ids — bit-reproducible) + occur
+        counters, then the MUST/SHOULD/MUST_NOT/FILTER predicate."""
+        from pyspark.sql import functions as F
+
+        parts = []
+        occur_by_cid: Dict[int, Occur] = {}
+        flat_terms: List[Tuple[int, str, float]] = []
+        for i, c in enumerate(q.clauses):
+            occur_by_cid[i] = c.occur
+            if isinstance(c.query, TermQuery):
+                flat_terms.append((i, c.query.term, boost * c.query.boost if c.occur != Occur.FILTER else 1.0))
+            else:
+                sub = self._eval(c.query, boost if c.occur != Occur.FILTER else 1.0)
+                parts.append(
+                    sub.select(F.lit(i).cast("int").alias("clause_id"), "doc_id", "score")
+                )
+        if flat_terms:
+            parts.insert(0, self._score_terms(flat_terms))
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+
+        n_must = sum(1 for o in occur_by_cid.values() if o == Occur.MUST)
+        n_filter = sum(1 for o in occur_by_cid.values() if o == Occur.FILTER)
+        n_should_total = sum(1 for o in occur_by_cid.values() if o == Occur.SHOULD)
+        mm = q.min_should_match
+        if n_must == 0 and n_filter == 0 and n_should_total > 0:
+            mm = max(mm, 1)
+
+        aggs = []
+        score_cols = []
+        for i in sorted(occur_by_cid):
+            o = occur_by_cid[i]
+            matched = F.max(F.when(F.col("clause_id") == i, 1).otherwise(0)).alias(f"m{i}")
+            aggs.append(matched)
+            if o in (Occur.MUST, Occur.SHOULD):
+                aggs.append(
+                    F.sum(F.when(F.col("clause_id") == i, F.col("score"))).alias(f"s{i}")
+                )
+                score_cols.append(f"s{i}")
+        g = u.groupBy("doc_id").agg(*aggs)
+
+        cond = F.lit(True)
+        must_cnt = None
+        should_cnt = None
+        for i in sorted(occur_by_cid):
+            o = occur_by_cid[i]
+            m = F.col(f"m{i}")
+            if o == Occur.MUST or o == Occur.FILTER:
+                cond = cond & (m == 1)
+            elif o == Occur.MUST_NOT:
+                cond = cond & (m == 0)
+            elif o == Occur.SHOULD:
+                should_cnt = m if should_cnt is None else (should_cnt + m)
+        if mm > 0 and should_cnt is not None:
+            cond = cond & (should_cnt >= mm)
+
+        if score_cols:
+            total = F.coalesce(F.col(score_cols[0]), F.lit(0.0))
+            for c in score_cols[1:]:
+                total = total + F.coalesce(F.col(c), F.lit(0.0))
+        else:
+            total = F.lit(0.0)
+        if self.precision == "float32":
+            total = total.cast("float").cast("double")
+        out = g.where(cond).select("doc_id", total.alias("score"))
+        if q.boost != 1.0:
+            # boost was already propagated into leaf weights; nothing here
+            pass
+        return out
+
+    # -- public API -----------------------------------------------------------
+
+    def search(self, q: Query, k: int = 10, after: Optional[Tuple[float, int]] = None) -> pd.DataFrame:
+        """Top-k: score desc, docID asc (HitQueue.java:76-81). `after`:
+        (score, doc_id) cursor for searchAfter paging
+        (IndexSearcher.java:419)."""
+        from pyspark.sql import functions as F
+
+        q = rewrite(q, dictionary_terms=None)
+        q = self._expand_multiterm(q)
+        q = rewrite(q, dictionary_terms=None)
+        scored = self._eval(q, 1.0)
+        if after is not None:
+            s, d = after
+            scored = scored.where(
+                (F.col("score") < float(s))
+                | ((F.col("score") == float(s)) & (F.col("doc_id") > int(d)))
+            )
+        rows = (
+            scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+        )
+        return pd.DataFrame(
+            {
+                "rank": range(1, len(rows) + 1),
+                "doc_id": [r["doc_id"] for r in rows],
+                "score": np.array([r["score"] for r in rows], dtype=np.float32)
+                if self.precision == "float32"
+                else [r["score"] for r in rows],
+            }
+        )
+
+    def count(self, q: Query) -> int:
+        q = self._expand_multiterm(rewrite(q, None))
+        return self._eval(rewrite(q, None), 1.0).count()
+
+    def _expand_multiterm(self, q: Query) -> Query:
+        """Replace MultiTermQuery nodes via Spark-side dictionary scans
+        (CONSTANT_SCORE rewrite -> TermInSetQuery)."""
+        if isinstance(q, MultiTermQuery):
+            terms = self.reader.expand(q)
+            if not terms:
+                return MatchNoDocsQuery(boost=q.boost)
+            return TermInSetQuery(boost=q.boost, terms=tuple(terms))
+        if isinstance(q, BooleanQuery):
+            return BooleanQuery(
+                boost=q.boost,
+                clauses=tuple(
+                    BooleanClause(c.occur, self._expand_multiterm(c.query))
+                    for c in q.clauses
+                ),
+                min_should_match=q.min_should_match,
+            )
+        if isinstance(q, DisjunctionMaxQuery):
+            return DisjunctionMaxQuery(
+                boost=q.boost,
+                disjuncts=tuple(self._expand_multiterm(d) for d in q.disjuncts),
+                tie_breaker=q.tie_breaker,
+            )
+        return q
+
+
+def _re_escape(c: str) -> str:
+    import re
+
+    return re.escape(c)
+
+
+def _norm32(lengths: np.ndarray, avgdl32: float) -> np.ndarray:
+    """float32 norm for exact (unquantized) doc lengths, same op order
+    as BM25Similarity's cache fill: k1 * ((1-b) + (b*dl)/avgdl)."""
+    dl = lengths.astype(np.float32)
+    return (
+        bm25.K1 * ((np.float32(1.0) - bm25.B) + (bm25.B * dl) / np.float32(avgdl32))
+    ).astype(np.float32)
