@@ -1,0 +1,395 @@
+"""DataFrame-native fulltext query surface (the "live" search path).
+
+This is the engine's second query path, next to the segment-index path
+in ``search/executor.py``: instead of reading persisted postings
+segments, it derives postings from a corpus DataFrame on the fly with
+PURE Catalyst expressions (split / filter / posexplode / groupBy) — no
+Python UDFs anywhere — and scores BM25 in float64 with the exact same
+formula constants as ``bm25.py`` (k1=1.2, b=0.75, Lucene's idf:
+BM25Similarity.java:72-74).
+
+Reference lifecycle mapping (SURVEY §3.1):
+  weight creation / global stats -> one driver-side agg (docCount,
+      avgdl, per-term df), embedded as literals = Lucene's
+      TermQuery.createWeight + ExactStatsCache (stats are GLOBAL)
+  per-leaf scoring               -> whole-stage-codegen score column
+  boolean composition            -> ONE hash aggregation per node
+      (Boolean2ScorerSupplier occur buckets)
+  collector                      -> orderBy(score desc, doc_id asc)
+      .limit(k) == TakeOrderedAndProject (per-partition top-k heaps +
+      driver merge, TopDocs.merge analog)
+
+Every function here is replicated 1:1 by an ANSI-SQL oracle in
+``entry_queries.py`` (DuckDB), which is the driver's correctness gate.
+The float32 rank-identity path vs the pandas Lucene oracle lives in
+``search/executor.py`` and is covered by pytest.
+
+Scale notes (100 TB corpus):
+  - tokenization is a JVM split inside WholeStageCodegen: no Arrow
+    transfer, no Python workers; scales linearly with input splits.
+  - the tokens/postings frames are never materialized driver-side;
+    stats collection pulls back O(|query terms|) rows only.
+  - groupBy(doc_id, term) is a partial+final hash agg (map-side
+    combine), the same two-level pattern the segment builder uses.
+  - at real scale you persist the postings (indexing/builder.py) and
+    query those; this path is the MemoryIndex / fresh-segment analog
+    and shares scoring semantics bit-for-bit in float64.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .analysis import ENGLISH_STOP_WORDS
+
+K1 = 1.2
+B = 0.75
+
+# deterministic ordering for SQL IN-list reproducibility
+STOPWORDS: Tuple[str, ...] = tuple(sorted(ENGLISH_STOP_WORDS))
+
+SPLIT_PATTERN = "[^a-z0-9]+"
+
+
+def token_array(text_col: Column, stop: bool = True) -> Column:
+    """array<string> of analyzed terms: lowercase -> split -> drop empty
+    -> (optional) stop filter. Pure Catalyst higher-order functions.
+
+    Analyzer = the engine's "simple" chain (analysis.py:99-104); the
+    Lucene StandardAnalyzer-parity chain is the pandas-UDF path in
+    analysis.make_analyze_udf (used by the segment builder)."""
+    arr = F.filter(F.split(F.lower(text_col), SPLIT_PATTERN), lambda x: x != F.lit(""))
+    if stop:
+        arr = F.filter(arr, lambda x: ~x.isin(*STOPWORDS))
+    return arr
+
+
+def tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+           stop: bool = True) -> DataFrame:
+    """(doc_id, term, pos): pos is 1-based over the POST-filter stream
+    (matches the SQL oracle's list_transform indexing)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(token_array(F.col(text_col), stop)).alias("pos0", "term"),
+    ).select("doc_id", "term", (F.col("pos0") + 1).alias("pos"))
+
+
+def doc_lengths(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                stop: bool = True) -> DataFrame:
+    """(doc_id, dl): BM25 field length = #tokens after the stop filter
+    (DefaultIndexingChain.java:816-829). Zero-token docs keep dl=0."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(token_array(F.col(text_col), stop)).alias("dl"),
+    )
+
+
+def postings(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             stop: bool = True) -> DataFrame:
+    """(doc_id, term, tf) — the uncompressed postings relation.
+    partial+final hash agg; one shuffle on (doc_id, term)."""
+    return (
+        tokens(df, text_col, id_col, stop)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+class CorpusStats:
+    """Global collection statistics — the ExactStatsCache analog
+    (solr/core/.../search/stats/ExactStatsCache.java): computed once,
+    cluster-exact, embedded into the plan as literals."""
+
+    def __init__(self, doc_count: int, total_tokens: int):
+        self.doc_count = doc_count
+        self.total_tokens = total_tokens
+
+    @property
+    def avgdl(self) -> float:
+        return self.total_tokens / self.doc_count if self.doc_count else 0.0
+
+    def idf(self, df: int) -> float:
+        """ln(1 + (N - df + 0.5)/(df + 0.5)) — BM25Similarity.java:72-74."""
+        return math.log(1.0 + (self.doc_count - df + 0.5) / (df + 0.5))
+
+
+def corpus_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                 stop: bool = True) -> CorpusStats:
+    row = (
+        doc_lengths(df, text_col, id_col, stop)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tt"))
+        .collect()[0]
+    )
+    return CorpusStats(int(row["n"]), int(row["tt"] or 0))
+
+
+def term_dfs(post: DataFrame, terms: Sequence[str]) -> Dict[str, int]:
+    """df per query term: tiny driver-side collect (|terms| rows) —
+    weight-creation stats (TermQuery.java:65-66)."""
+    rows = (
+        post.where(F.col("term").isin(list(terms)))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    )
+    out = {t: 0 for t in terms}
+    out.update({r["term"]: int(r["df"]) for r in rows})
+    return out
+
+
+def bm25_expr(tf: Column, dl: Column, idf: float, avgdl: float,
+              boost: float = 1.0) -> Column:
+    """float64 BM25 score column; all constants folded as literals so
+    the whole expression stays inside WholeStageCodegen."""
+    tf_d = tf.cast("double")
+    dl_d = dl.cast("double")
+    denom = tf_d + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * dl_d / F.lit(avgdl))
+    return F.lit(boost * idf) * (tf_d * F.lit(K1 + 1.0)) / denom
+
+
+class FulltextIndex:
+    """On-the-fly index over a corpus DataFrame: postings + doc lengths
+    + global stats, shared by all query operators below."""
+
+    def __init__(self, df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", stop: bool = True):
+        self.df = df
+        self.text_col = text_col
+        self.id_col = id_col
+        self.stop = stop
+        self._stats: Optional[CorpusStats] = None
+
+    @property
+    def post(self) -> DataFrame:
+        return postings(self.df, self.text_col, self.id_col, self.stop)
+
+    @property
+    def dl(self) -> DataFrame:
+        return doc_lengths(self.df, self.text_col, self.id_col, self.stop)
+
+    @property
+    def toks(self) -> DataFrame:
+        return tokens(self.df, self.text_col, self.id_col, self.stop)
+
+    @property
+    def stats(self) -> CorpusStats:
+        if self._stats is None:
+            self._stats = corpus_stats(self.df, self.text_col, self.id_col, self.stop)
+        return self._stats
+
+    # ------------------------------------------------------------------
+    # scoring primitives
+    # ------------------------------------------------------------------
+
+    def scored_postings(self, terms: Sequence[str],
+                        boosts: Optional[Dict[str, float]] = None) -> DataFrame:
+        """(doc_id, term, score): per-term BM25 over the query terms.
+        One scan of postings filtered to |terms| (the term-dictionary
+        seek analog — predicate pushes to the token stream)."""
+        st = self.stats
+        dfs = term_dfs(self.post, terms)
+        boosts = boosts or {}
+        scored = (
+            self.post.where(F.col("term").isin(list(terms)))
+            .join(self.dl, "doc_id")
+        )
+        # one CASE WHEN over terms: constants per term folded as literals
+        expr: Column = F.lit(0.0)
+        for t in terms:
+            sc = bm25_expr(F.col("tf"), F.col("dl"), st.idf(dfs[t]), st.avgdl,
+                           boosts.get(t, 1.0))
+            expr = F.when(F.col("term") == t, sc).otherwise(expr)
+        return scored.select("doc_id", "term", expr.alias("score"))
+
+    # ------------------------------------------------------------------
+    # query operators (each mirrors a SURVEY §2.4/2.5 reference operator)
+    # ------------------------------------------------------------------
+
+    def term_query(self, term: str, k: int = 10) -> DataFrame:
+        """TermQuery + TopScoreDocCollector (TermQuery.java:41;
+        TopScoreDocCollector.java:50-87). Tie-break doc_id asc."""
+        sc = self.scored_postings([term]).select("doc_id", "score")
+        return _topk(sc, k)
+
+    def boolean_and(self, terms: Sequence[str], k: int = 10) -> DataFrame:
+        """Conjunction (ConjunctionDISI leapfrog -> count-intersection
+        hash agg: ONE shuffle for n terms; SURVEY §2.5)."""
+        sc = self.scored_postings(terms)
+        agg = sc.groupBy("doc_id").agg(
+            F.sum("score").alias("score"), F.count(F.lit(1)).alias("nm")
+        )
+        return _topk(agg.where(F.col("nm") == len(terms)).select("doc_id", "score"), k)
+
+    def boolean_or(self, terms: Sequence[str], k: int = 10,
+                   min_should_match: int = 1) -> DataFrame:
+        """Disjunction (DisjunctionSumScorer / MinShouldMatchSumScorer:
+        union + group-sum + match-count filter)."""
+        sc = self.scored_postings(terms)
+        agg = sc.groupBy("doc_id").agg(
+            F.sum("score").alias("score"), F.count(F.lit(1)).alias("nm")
+        )
+        return _topk(agg.where(F.col("nm") >= min_should_match).select("doc_id", "score"), k)
+
+    def boolean_not(self, must: Sequence[str], must_not: Sequence[str],
+                    k: int = 10) -> DataFrame:
+        """MUST + MUST_NOT (ReqExclScorer -> left_anti join)."""
+        pos = self.scored_postings(must)
+        agg = pos.groupBy("doc_id").agg(
+            F.sum("score").alias("score"), F.count(F.lit(1)).alias("nm")
+        ).where(F.col("nm") == len(must))
+        excl = self.post.where(F.col("term").isin(list(must_not))).select("doc_id").distinct()
+        return _topk(agg.join(excl, "doc_id", "left_anti").select("doc_id", "score"), k)
+
+    def boolean_filter(self, scoring: Sequence[str], filter_terms: Sequence[str],
+                       k: int = 10) -> DataFrame:
+        """SHOULD + FILTER clause (Occur.FILTER: match w/o score ->
+        left_semi join; Boolean2ScorerSupplier.java:120-152)."""
+        sc = self.scored_postings(scoring)
+        agg = sc.groupBy("doc_id").agg(F.sum("score").alias("score"))
+        filt = self.post.where(F.col("term").isin(list(filter_terms))).select("doc_id").distinct()
+        return _topk(agg.join(filt, "doc_id", "left_semi").select("doc_id", "score"), k)
+
+    def dismax(self, terms: Sequence[str], tie_breaker: float = 0.1,
+               k: int = 10) -> DataFrame:
+        """DisjunctionMaxQuery: max + tb*(sum-max) (DisjunctionMaxQuery.java:47)."""
+        sc = self.scored_postings(terms)
+        agg = sc.groupBy("doc_id").agg(
+            F.max("score").alias("mx"), F.sum("score").alias("sm")
+        )
+        score = F.col("mx") + F.lit(tie_breaker) * (F.col("sm") - F.col("mx"))
+        return _topk(agg.select("doc_id", score.alias("score")), k)
+
+    def synonym_query(self, terms: Sequence[str], k: int = 10) -> DataFrame:
+        """SynonymQuery: summed tf per doc, blended df = max over terms
+        (SynonymQuery.java:47)."""
+        st = self.stats
+        dfs = term_dfs(self.post, terms)
+        df_blend = max(dfs.values(), default=0)
+        merged = (
+            self.post.where(F.col("term").isin(list(terms)))
+            .groupBy("doc_id").agg(F.sum("tf").alias("tf"))
+            .join(self.dl, "doc_id")
+        )
+        sc = merged.select(
+            "doc_id",
+            bm25_expr(F.col("tf"), F.col("dl"), st.idf(df_blend), st.avgdl).alias("score"),
+        )
+        return _topk(sc, k)
+
+    def term_in_set(self, terms: Sequence[str]) -> DataFrame:
+        """TermInSetQuery: constant-score any-of-N match
+        (TermInSetQuery.java:68). Returns matching doc_ids."""
+        return (
+            self.post.where(F.col("term").isin(list(terms)))
+            .select("doc_id").distinct()
+        )
+
+    def prefix_terms(self, prefix: str) -> DataFrame:
+        """PrefixQuery term expansion against the term dictionary
+        (PrefixQuery.java:31 + BlockTree intersect): distinct terms with
+        df, pushdown on the term column."""
+        return (
+            self.post.where(F.col("term").startswith(prefix))
+            .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        )
+
+    def wildcard_match(self, like_pattern: str) -> DataFrame:
+        """WildcardQuery via CONSTANT_SCORE rewrite -> doc set
+        (WildcardQuery.java:42; MultiTermQuery.java:68)."""
+        return (
+            self.post.where(F.col("term").like(like_pattern))
+            .select("doc_id").distinct()
+        )
+
+    def fuzzy_terms(self, term: str, max_edits: int = 1) -> DataFrame:
+        """FuzzyQuery expansion: Levenshtein <= n over the (small)
+        distinct-terms dictionary (FuzzyQuery.java:53)."""
+        dic = self.post.select("term").distinct()
+        return dic.where(
+            (F.length("term") >= len(term) - max_edits)
+            & (F.length("term") <= len(term) + max_edits)
+            & (F.levenshtein(F.col("term"), F.lit(term)) <= max_edits)
+        )
+
+    def term_range(self, lo: str, hi: str, k: int = 10) -> DataFrame:
+        """TermRangeQuery [lo, hi] -> constant-score doc set with match
+        count (TermRangeQuery.java:37)."""
+        return (
+            self.post.where(F.col("term").between(lo, hi))
+            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("nterms"))
+        )
+
+    def phrase_query(self, terms: Sequence[str], k: int = 10) -> DataFrame:
+        """Exact phrase (slop=0, PhraseQuery.java:68): self-join of the
+        position stream on (doc_id, pos+i) — phrase tf = #occurrences,
+        scored like a term with idf = sum of per-term idfs
+        (BM25Similarity idfExplain sum)."""
+        st = self.stats
+        dfs = term_dfs(self.post, terms)
+        idf_sum = sum(st.idf(dfs[t]) for t in terms)
+        t0 = self.toks.where(F.col("term") == terms[0]).select("doc_id", "pos")
+        cur = t0
+        for i, t in enumerate(terms[1:], start=1):
+            ti = self.toks.where(F.col("term") == t).select(
+                F.col("doc_id").alias("d2"), (F.col("pos") - i).alias("p2")
+            )
+            cur = cur.join(
+                ti,
+                (cur["doc_id"] == ti["d2"]) & (cur["pos"] == ti["p2"]),
+                "inner",
+            ).select(cur["doc_id"], cur["pos"])
+        freq = cur.groupBy("doc_id").agg(F.count(F.lit(1)).alias("tf"))
+        sc = freq.join(self.dl, "doc_id").select(
+            "doc_id", bm25_expr(F.col("tf"), F.col("dl"), idf_sum, st.avgdl).alias("score")
+        )
+        return _topk(sc, k)
+
+    def total_hits(self, terms: Sequence[str], mode: str = "or") -> DataFrame:
+        """TotalHitCountCollector: match count without scoring."""
+        sc = self.post.where(F.col("term").isin(list(terms)))
+        g = sc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nm"))
+        if mode == "and":
+            g = g.where(F.col("nm") == len(terms))
+        return g.agg(F.count(F.lit(1)).alias("total_hits"))
+
+    def search_after(self, term: str, after_score: float, after_doc: int,
+                     k: int = 10) -> DataFrame:
+        """searchAfter paging cursor (IndexSearcher.java:419): strictly
+        after (score, doc_id) in (score desc, doc_id asc) order.
+        Cursor compares on the ROUNDED score so engine and oracle agree."""
+        sc = self.scored_postings([term]).select(
+            "doc_id", F.round(F.col("score"), 6).alias("score")
+        )
+        cond = (F.col("score") < after_score) | (
+            (F.col("score") == after_score) & (F.col("doc_id") > after_doc)
+        )
+        return (
+            sc.where(cond)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", "score")
+        )
+
+    def term_facet(self, n: int = 20) -> DataFrame:
+        """Field facet over the term dictionary: df + ttf per term,
+        top-N by df (FacetFieldProcessorByHashDV analog: hash agg)."""
+        return (
+            self.post.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("ttf"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(n)
+        )
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    """TopScoreDocCollector ordering (score desc, doc_id asc —
+    HitQueue.java:76-81) on the ROUNDED score, so rank and the oracle's
+    rank agree bit-for-bit; Catalyst plans TakeOrderedAndProject."""
+    return (
+        scored.select("doc_id", F.round(F.col("score"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
