@@ -330,3 +330,445 @@ def ft_term_facet(spark, sf_dir):
     """Terms facet over the dictionary: top-20 by df
     (FacetFieldProcessorByHashDV hash agg)."""
     return ft(spark, sf_dir).term_facet(n=20)
+
+
+# ---------------------------------------------------------------------------
+# facets / aggregations (SURVEY §2.8) over the TPC-H-ish tables.
+#
+# Float-sum determinism: money sums are computed as per-row
+# CAST(expr AS DECIMAL(18,4)) then SUM — the row-level double->decimal
+# rounding is identical in Spark and DuckDB (doubles never sit exactly
+# on decimal midpoints) and decimal addition is exact, so the aggregate
+# is order-independent. Output is cast back to DOUBLE.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.types import DecimalType  # noqa: E402
+
+_DEC = DecimalType(18, 4)
+
+def _money_sum(expr):
+    """Order-independent sum of a double money expression: per-row
+    floor(x*1e4 + 0.5) -> exact BIGINT sum -> /1e4. Every step is a
+    deterministic IEEE-754 op, identical in Spark and DuckDB (unlike
+    double->DECIMAL casts, which Spark routes through the shortest
+    string representation)."""
+    scaled = F.floor(expr * F.lit(10000.0) + F.lit(0.5)).cast("bigint")
+    return F.sum(scaled).cast("double") / F.lit(10000.0)
+
+
+
+@register("facet_field", """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
+FROM orders GROUP BY o_orderpriority
+ORDER BY cnt DESC, o_orderpriority ASC LIMIT 5
+""")
+def facet_field(spark, sf_dir):
+    """Field facet: count per term, top-N buckets
+    (FacetFieldProcessorByHashDV — hash agg + ordered limit)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("o_orderpriority"))
+        .limit(5)
+    )
+
+
+@register("facet_range", """
+SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM orders GROUP BY bucket
+""")
+def facet_range(spark, sf_dir):
+    """Range facet: numeric buckets start=0 gap=50000
+    (FacetRange.java)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.floor(F.col("o_totalprice") / 50000).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register("facet_query", """
+SELECT CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' AND o_totalprice <= 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_open
+FROM orders
+""")
+def facet_query(spark, sf_dir):
+    """Query facet: count per arbitrary predicate (FacetQuery.java)."""
+    o = load(spark, sf_dir, "orders")
+    return o.agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_f"),
+        F.sum(F.when(F.col("o_totalprice") > 100000, 1).otherwise(0)).alias("n_big"),
+        F.sum(
+            F.when((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") <= 100000), 1).otherwise(0)
+        ).alias("n_small_open"),
+    )
+
+
+@register("rollup_stats", """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(min(l_quantity) AS DOUBLE) AS min_qty,
+       CAST(max(l_quantity) AS DOUBLE) AS max_qty,
+       CAST(sum(CAST(floor(l_extendedprice * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_price
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""")
+def rollup_stats(spark, sf_dir):
+    """RollupStream + Count/Sum/Min/Max metrics (RollupStream.java:46;
+    the reference needs sorted input, Spark's hash agg doesn't)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        _money_sum(F.col("l_extendedprice")).alias("sum_price"),
+    )
+
+
+@register("facet_stats", """
+SELECT o_orderpriority,
+       CAST(sum(CAST(floor(o_totalprice * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 / count(*) AS avg_price,
+       round(stddev(o_totalprice), 3) AS sd_price,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS uniq_cust
+FROM orders GROUP BY o_orderpriority
+""")
+def facet_stats(spark, sf_dir):
+    """StddevAgg/AvgAgg/UniqueAgg facet functions (search/facet/
+    {StddevAgg,AvgAgg,UniqueAgg}.java). avg is decimal-sum/count for
+    order-independence; stddev rounded to 3 (Welford accumulation
+    order differs at the ulp level)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        (_money_sum(F.col("o_totalprice")) / F.count(F.lit(1))).alias("avg_price"),
+        F.round(F.stddev("o_totalprice"), 3).alias("sd_price"),
+        F.countDistinct("o_custkey").alias("uniq_cust"),
+    )
+
+
+@register("facet_percentile", """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+       round(quantile_cont(l_quantity, 0.95), 6) AS p95
+FROM lineitem GROUP BY l_returnflag
+""")
+def facet_percentile(spark, sf_dir):
+    """PercentileAgg (exact interpolated percentile; the reference's
+    t-digest is approximate — we use Spark's exact `percentile` so the
+    oracle can verify; `percentile_approx` is the scale path)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.95)"), 6).alias("p95"),
+    )
+
+
+@register("grouping_topk", """
+SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+""")
+def grouping_topk(spark, sf_dir):
+    """Grouping module: top-k docs per group via two-pass collectors
+    (FirstPassGroupingCollector.java:43) -> window row_number."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
+
+
+@register("timeseries_events", """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_value
+FROM events GROUP BY bucket
+""")
+def timeseries_events(spark, sf_dir):
+    """TimeSeriesStream: tumbling-window bucketed agg with gap=1h
+    (TimeSeriesStream.java:57-101) -> groupBy(date_trunc). Session tz
+    pinned to UTC so bucket labels match the oracle's naive timestamps."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            _money_sum(F.col("value")).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# join zoo / streaming-expression algebra (SURVEY §2.5 joins, §2.9)
+# ---------------------------------------------------------------------------
+
+@register("join_inner", """
+SELECT o.o_orderkey, c.c_name, o.o_totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_totalprice > 400000
+""")
+def join_inner(spark, sf_dir):
+    """innerJoin stream (InnerJoinStream.java:35 sort-merge /
+    HashJoinStream.java:45 hash): Catalyst picks broadcast-hash for the
+    small customer side."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    c = load(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        "o_orderkey", "c_name", "o_totalprice"
+    )
+
+
+@register("join_left", """
+SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+""")
+def join_left(spark, sf_dir):
+    """leftOuterJoin stream (LeftOuterJoinStream.java): customers keep
+    rows with no orders (count 0)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register("join_semi", """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+""")
+def join_semi(spark, sf_dir):
+    """intersect stream (IntersectStream.java:43) -> left_semi join."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450000)
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register("join_anti", """
+SELECT c_custkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def join_anti(spark, sf_dir):
+    """complement stream (ComplementStream.java:43) -> left_anti join."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select("c_custkey")
+
+
+@register("fetch_enrich", """
+SELECT l.l_orderkey, l.l_linenumber, p.p_name, p.p_brand
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_quantity >= 49
+""")
+def fetch_enrich(spark, sf_dir):
+    """fetch stream: batched lookup join to enrich tuples
+    (FetchStream.java) -> broadcast hash join on the dim table."""
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 49)
+    p = load(spark, sf_dir, "part")
+    return li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        "l_orderkey", "l_linenumber", "p_name", "p_brand"
+    )
+
+
+@register("merge_union", """
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 450000
+UNION ALL
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 1000
+""")
+def merge_union(spark, sf_dir):
+    """merge stream: ordered union of streams (MergeStream.java:41) ->
+    unionByName (duplicates preserved; ordering via downstream sort)."""
+    o = load(spark, sf_dir, "orders")
+    hi = o.where(F.col("o_totalprice") > 450000).select("o_orderkey", "o_totalprice")
+    lo = o.where(F.col("o_totalprice") < 1000).select("o_orderkey", "o_totalprice")
+    return hi.unionByName(lo)
+
+
+@register("unique_stream", """
+SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders
+""")
+def unique_stream(spark, sf_dir):
+    """unique stream: dedup on key columns (UniqueStream.java:46) ->
+    dropDuplicates == distinct on the key projection."""
+    return load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus"
+    ).distinct()
+
+
+@register("having_stream", """
+SELECT o_custkey, CAST(count(*) AS BIGINT) AS n FROM orders
+GROUP BY o_custkey HAVING count(*) >= 25
+""")
+def having_stream(spark, sf_dir):
+    """having stream: post-aggregation filter (HavingStream.java:41)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 25)
+    )
+
+
+@register("sort_top", """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+""")
+def sort_top(spark, sf_dir):
+    """rank stream: streaming top-k (RankStream.java:48) ->
+    TakeOrderedAndProject."""
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register("select_eval", """
+SELECT p_partkey,
+       concat(p_brand, ':', p_type) AS brand_type,
+       abs(p_size - 25) AS size_dist,
+       round(sqrt(CAST(p_size AS DOUBLE)), 6) AS size_sqrt,
+       round(pow(CAST(p_size AS DOUBLE), 2.0), 6) AS size_sq,
+       CASE WHEN p_size > 25 THEN 'big' ELSE 'small' END AS size_class,
+       round(CAST(p_retailprice AS DOUBLE) / 2.0 + 10.0, 6) AS half_plus
+FROM part WHERE p_partkey <= 100
+""")
+def select_eval(spark, sf_dir):
+    """select stream + function queries: computed scalar fields
+    (SelectStream.java:50; ValueSourceParser's abs/pow/sqrt/concat/if —
+    SURVEY §2.10) — 1:1 with pyspark.sql.functions."""
+    p = load(spark, sf_dir, "part").where(F.col("p_partkey") <= 100)
+    return p.select(
+        "p_partkey",
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        F.round(F.sqrt(F.col("p_size").cast("double")), 6).alias("size_sqrt"),
+        F.round(F.pow(F.col("p_size").cast("double"), 2.0), 6).alias("size_sq"),
+        F.when(F.col("p_size") > 25, "big").otherwise("small").alias("size_class"),
+        F.round(F.col("p_retailprice").cast("double") / 2.0 + 10.0, 6).alias("half_plus"),
+    )
+
+
+@register("cartesian_unnest", """
+SELECT e.event_id, u.t AS tag
+FROM (SELECT event_id, regexp_split_to_array(event_type, '_') AS l
+      FROM events WHERE event_id < 100) e, unnest(e.l) AS u(t)
+""")
+def cartesian_unnest(spark, sf_dir):
+    """cartesianProduct stream: row x array elements = UNNEST
+    (CartesianProductStream.java) -> explode()."""
+    e = load(spark, sf_dir, "events").where(F.col("event_id") < 100)
+    return e.select(
+        "event_id", F.explode(F.split(F.col("event_type"), "_")).alias("tag")
+    )
+
+
+@register("json_extract_eval", """
+SELECT event_type,
+       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY event_type
+""")
+def json_extract_eval(spark, sf_dir):
+    """eval over semi-structured payloads (solrj/io/eval analog):
+    JSON field extraction + agg, JVM-side get_json_object."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.sum(F.get_json_object(F.col("props"), "$.k").cast("bigint")).alias("sum_k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# flagship relational benchmarks (Solr SQL / Calcite analog — SURVEY §3.4:
+# Catalyst replaces Calcite wholesale)
+# ---------------------------------------------------------------------------
+
+@register("tpch_q1", """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(floor(l_extendedprice * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_base_price,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_charge,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def tpch_q1(spark, sf_dir):
+    """TPC-H Q1 pricing summary: the headline partial+final hash agg
+    (map-side combine; one shuffle of 4 groups)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    li = load(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            _money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _money_sum(disc).alias("sum_disc_price"),
+            _money_sum(charge).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register("tpch_q3_shipping", """
+SELECT l.l_orderkey,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+""")
+def tpch_q3_shipping(spark, sf_dir):
+    """TPC-H Q3 shipping priority: selective join pipeline (broadcast
+    the filtered customer dim) + agg + top-k."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_money_sum(disc).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
