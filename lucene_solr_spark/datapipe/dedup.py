@@ -1,0 +1,243 @@
+"""Deduplication operators for web-scale corpora.
+
+Scale design (100 TB, 10^12 docs):
+  - exact dedup: one hash-shuffle on md5(text) — the canonical-doc
+    window never materializes groups, it's a partial agg + broadcast of
+    nothing (window over hash partitions).
+  - n-gram Jaccard is quadratic per shingle bucket; it is the VERIFY
+    step applied to candidate pairs only, never the discovery step.
+  - discovery at scale = MinHash-LSH (band bucketing: only docs sharing
+    a band key ever meet in the join) or SimHash (pigeonhole band join:
+    hamming<=3 over 4 bands of 16 bits => at least one exact band
+    match). Both are one explode + one hash-shuffle per stage; no
+    cross join anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..fulltext import SPLIT_PATTERN
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 -> fits a signed BIGINT
+
+
+def tokens_array(text_col: Column) -> Column:
+    """Raw analyzed tokens (no stop filter — dedup wants full text)."""
+    return F.filter(F.split(F.lower(text_col), SPLIT_PATTERN), lambda x: x != F.lit(""))
+
+
+def h60(col: Column) -> Column:
+    """Portable 60-bit hash: int(md5(s)[:15], 16). Bit-identical in
+    DuckDB as CAST('0x' || substr(md5(s),1,15) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, canonical_id, group_size): canonical = min doc_id per
+    md5(text) group. One shuffle on the hash; window functions run
+    within hash partitions (no second shuffle)."""
+    h = F.md5(F.col(text_col)).alias("h")
+    w = Window.partitionBy("h")
+    return (
+        df.select(F.col(id_col).alias("doc_id"), h)
+        .select(
+            "doc_id",
+            F.min("doc_id").over(w).alias("canonical_id"),
+            F.count(F.lit(1)).over(w).alias("group_size"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + n-gram Jaccard (the exact verifier for near-dup candidates)
+# ---------------------------------------------------------------------------
+
+def shingle_array(text_col: Column, k: int = 3) -> Column:
+    """k-token shingles as space-joined strings, via a sequence/
+    transform higher-order pipeline (pure Catalyst)."""
+    toks = tokens_array(text_col)
+    idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    shingles = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(k)]
+        ),
+    )
+    # guard: sequence(1, n) flips to descending when n < 1
+    return F.when(F.size(toks) >= k, shingles).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                 k: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.explode(shingle_array(F.col(text_col), k)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 3) -> DataFrame:
+    """(a, b, jaccard) for doc pairs with shingle-set Jaccard >=
+    threshold (a < b). Join ON shingle — only docs sharing a shingle
+    ever meet; sizes joined in after the pair agg. jaccard =
+    inter/(|A|+|B|-inter), integer inputs -> deterministic double."""
+    sh = doc_shingles(df, text_col, id_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
+    jac = (
+        inter.join(sa, "a").join(sb, "b")
+        .select(
+            "a", "b",
+            (F.col("inter").cast("double")
+             / (F.col("sza") + F.col("szb") - F.col("inter")).cast("double")
+             ).alias("jaccard"),
+        )
+    )
+    return jac.where(F.col("jaccard") >= threshold).select(
+        "a", "b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (oracle-replicable: h60 bits, integer vote sums)
+# ---------------------------------------------------------------------------
+
+def simhash_fingerprints(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash): 60-bit SimHash. Per (doc, term): tf-weighted
+    ±1 vote per bit of h60(term); fingerprint bit b set iff vote sum
+    > 0. One groupBy(doc) with 60 conditional integer sums — map-side
+    combine, single shuffle, no UDF, exact integer math."""
+    toks = (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.explode(tokens_array(F.col(text_col))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", h60(F.col("term")))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
+            .otherwise(-F.col("tf"))
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    g = toks.groupBy("doc_id").agg(*votes)
+    fp = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("bigint") * (2 ** b)).otherwise(F.lit(0).cast("bigint"))
+        fp = bit if fp is None else fp + bit
+    return g.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(a, b, hamming) pairs with hamming(simhash) <= max_hamming.
+    Pigeonhole band join: 4 bands of 15 bits — any pair within hamming
+    3 matches exactly on >=1 band, so the join key is (band_id,
+    band_bits): no cross join, one shuffle."""
+    fps = simhash_fingerprints(df, text_col, id_col)
+    bands = fps.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright(F.col("simhash"), i * 15).bitwiseAND(F.lit((1 << 15) - 1)).alias("key"),
+                )
+                for i in range(4)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    a = bands.select(F.col("doc_id").alias("a"), F.col("simhash").alias("fa"), "band", "key")
+    b = bands.select(F.col("doc_id").alias("b"), F.col("simhash").alias("fb"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "fa", "fb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return (
+        cand.select("a", "b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the at-scale discovery path; xxhash64, rows-only check)
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(df: DataFrame, num_hashes: int = 32,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       k: int = 3) -> DataFrame:
+    """(doc_id, sig array<bigint>): sig[i] = min over shingles of
+    xxhash64(shingle, i). One explode + one groupBy(doc) with
+    num_hashes min-aggregates (map-side combine)."""
+    sh = doc_shingles(df, text_col, id_col, k)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    g = sh.groupBy("doc_id").agg(*mins)
+    return g.select(
+        "doc_id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8,
+                      threshold: float = 0.5, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """(a, b, est_jaccard) candidate near-dup pairs via banded LSH:
+    docs agreeing on all rows of >=1 band meet in the bucket join;
+    est_jaccard = fraction of agreeing minhashes. Discovery is
+    shuffle-bounded (explode bands -> hash join on band key)."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, num_hashes, text_col, id_col, k)
+    banded = sigs.select(
+        "doc_id", "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    F.xxhash64(*[F.col("sig")[j * rows + r] for r in range(rows)]).alias("key"),
+                )
+                for j in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "sig", "bk.band", "bk.key")
+    a = banded.select(F.col("doc_id").alias("a"), F.col("sig").alias("siga"), "band", "key")
+    b = banded.select(F.col("doc_id").alias("b"), F.col("sig").alias("sigb"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "siga", "sigb")
+        .distinct()
+    )
+    agree = F.size(F.filter(F.zip_with("siga", "sigb", lambda x, y: x == y), lambda v: v))
+    est = agree.cast("double") / F.lit(float(num_hashes))
+    return (
+        cand.select("a", "b", F.round(est, 6).alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= threshold)
+    )

@@ -1,0 +1,122 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the correctness baseline (oracle-checked);
+hyperplane-LSH bucketing is the scale path: at 10^12 vectors the cross
+join is impossible, so candidates come from a hash-bucket join and only
+bucket-mates are scored.
+
+All arithmetic is float64 with a fixed fold order (F.aggregate = left
+fold; F.zip_with elementwise), so scores are bit-reproducible against
+the SQL oracle's list_dot_product.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product in double (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(df: DataFrame, query_id: int, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, cos) top-k most-cosine-similar to the query vector,
+    excluding itself. The query row is broadcast (1 row); scoring is a
+    map-only stage + TakeOrderedAndProject — no shuffle of the corpus."""
+    q = df.where(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("qvec")
+    )
+    scored = df.where(F.col(id_col) != query_id).crossJoin(F.broadcast(q))
+    return (
+        scored.select(
+            F.col(id_col).alias("vec_id"),
+            F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def cosine_near_pairs(df: DataFrame, threshold: float = 0.9,
+                      max_id: Optional[int] = None,
+                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(a, b, cos) pairs with cosine >= threshold, a < b — embedding
+    near-duplicate detection (exact, quadratic: the verifier for LSH
+    candidates; cap with max_id for tests)."""
+    base = df if max_id is None else df.where(F.col(id_col) <= max_id)
+    a = base.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = base.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("a") < F.col("b"))
+    return (
+        pairs.select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def _hyperplane(dim: int, plane_idx: int) -> List[float]:
+    """Deterministic pseudo-random hyperplane: component j derives from
+    the 60-bit md5 h60 construction seeded by (plane_idx, j), mapped to
+    [-1, 1]. Pure Python, tiny, broadcast as a literal array."""
+    import hashlib
+
+    out = []
+    for j in range(dim):
+        h = int(hashlib.md5(f"plane:{plane_idx}:{j}".encode()).hexdigest()[:15], 16)
+        out.append(h / float(1 << 59) - 1.0)
+    return out
+
+
+def lsh_bucket_topk(df: DataFrame, query_id: int, k: int = 10, n_planes: int = 8,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """ANN scale path: sign-of-projection LSH — bucket = n_planes sign
+    bits; only the query's bucket is scored. Recall < 1 by design
+    (rows-only check); the partition-friendly plan is the point: bucket
+    assignment is a map-only expression, candidate scoring touches one
+    bucket. Multi-probe (flip one bit) widens recall."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = [_hyperplane(dim, i) for i in range(n_planes)]
+
+    def bucket_expr(vec: Column) -> Column:
+        bits = None
+        for i, p in enumerate(planes):
+            proj = dot(vec, F.array(*[F.lit(x) for x in p]))
+            bit = F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+            bits = bit if bits is None else bits + bit
+        return bits
+
+    with_b = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
+        bucket_expr(F.col(vec_col)).alias("bucket"),
+    )
+    qrow = with_b.where(F.col("vec_id") == query_id).select(
+        F.col("v").alias("qvec"), F.col("bucket").alias("qb")
+    )
+    # multi-probe: exact bucket + all one-bit flips
+    probes = F.array(*([F.col("qb")] + [
+        F.col("qb").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)
+    ]))
+    qx = qrow.select("qvec", F.explode(probes).alias("bucket"))
+    cand = with_b.where(F.col("vec_id") != query_id).join(
+        F.broadcast(qx), "bucket"
+    )
+    return (
+        cand.select("vec_id", F.round(cosine(F.col("v"), F.col("qvec")), 6).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )

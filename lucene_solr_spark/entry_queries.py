@@ -772,3 +772,278 @@ def tpch_q3_shipping(spark, sf_dir):
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (datapipe/): dedup, similarity
+# search, text analysis, multimodal plumbing. Oracle-checked where the
+# hash/arithmetic is portable (h60 = md5-prefix); xxhash64-based scale
+# paths are rows-only checks.
+# ---------------------------------------------------------------------------
+
+from .datapipe import dedup as _dedup  # noqa: E402
+from .datapipe import multimodal as _mm  # noqa: E402
+from .datapipe import similarity as _sim  # noqa: E402
+from .datapipe import textqa as _tq  # noqa: E402
+
+_RAWTOKS = """
+rawtoks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS toks
+  FROM documents
+)"""
+
+
+@register("dedup_exact", """
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+       CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS group_size
+FROM documents
+""")
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: canonical doc per md5(text) group (hash-groupBy,
+    one shuffle; datapipe/dedup.py)."""
+    return _dedup.exact_dedup(load(spark, sf_dir, "documents"))
+
+
+@register("dedup_ngram_jaccard", """
+WITH """ + _RAWTOKS + """,
+sh AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM rawtoks, unnest(range(1, len(toks) - 1)) AS r(i)
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.8
+""")
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Near-dup discovery by exact 3-gram shingle Jaccard >= 0.8
+    (shingle-bucket join, no cross join; datapipe/dedup.py)."""
+    return _dedup.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+_SIMHASH_FP_SQL = """
+WITH """ + _RAWTOKS + """,
+toks AS (SELECT doc_id, u.t AS term FROM rawtoks, unnest(toks) AS u(t)),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+th AS (SELECT doc_id, tf,
+              CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) AS h
+       FROM tf),
+bits AS (
+  SELECT doc_id, r.b,
+         sum(CASE WHEN ((h >> CAST(r.b AS INT)) & 1) = 1 THEN tf ELSE -tf END) AS v
+  FROM th, unnest(range(0, 60)) AS r(b)
+  GROUP BY doc_id, r.b
+),
+fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+)"""
+
+
+@register("dedup_simhash", _SIMHASH_FP_SQL + """
+SELECT doc_id, simhash FROM fp
+""")
+def dedup_simhash(spark, sf_dir):
+    """60-bit SimHash fingerprints: tf-weighted bit votes on the
+    portable h60 hash — 60 conditional integer sums in one hash agg
+    (datapipe/dedup.py simhash_fingerprints)."""
+    return _dedup.simhash_fingerprints(load(spark, sf_dir, "documents"))
+
+
+@register("dedup_simhash_pairs", _SIMHASH_FP_SQL + """
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""")
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs, hamming <= 3. Spark uses the pigeonhole
+    band join (4 x 15-bit bands: no cross join) — rank-identical to the
+    oracle's exhaustive pairwise check because banding has no false
+    negatives at hamming <= 3 and the hamming filter removes false
+    positives."""
+    return _dedup.simhash_near_pairs(
+        load(spark, sf_dir, "documents"), max_hamming=3
+    )
+
+
+@register("dedup_minhash_lsh", None)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(32)+LSH(8 bands) candidate pairs, est_jaccard >= 0.5 —
+    the at-scale discovery path (xxhash64 signatures; rows-only check,
+    verified against exact jaccard in tests/test_datapipe.py)."""
+    return _dedup.minhash_lsh_pairs(load(spark, sf_dir, "documents"),
+                                    threshold=0.5)
+
+
+@register("ann_cosine_topk", """
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])))), 6) AS cos
+FROM embeddings, q WHERE vec_id <> 0
+ORDER BY cos DESC, vec_id ASC LIMIT 10
+""")
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 vs vec_id=0 (broadcast query row,
+    map-only scoring + TakeOrderedAndProject; datapipe/similarity.py)."""
+    return _sim.brute_force_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+@register("ann_cosine_pairs", """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <= 150)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9
+""")
+def ann_cosine_pairs(spark, sf_dir):
+    """Embedding near-dup pairs: cosine >= 0.9 among vec_id <= 150
+    (exact quadratic verifier; datapipe/similarity.py)."""
+    return _sim.cosine_near_pairs(load(spark, sf_dir, "embeddings"),
+                                  threshold=0.9, max_id=150)
+
+
+@register("ann_lsh_topk", None)
+def ann_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH bucketed ANN top-10 (multi-probe): the scale path
+    — bucket join instead of cross join (rows-only; recall measured in
+    tests/test_datapipe.py)."""
+    return _sim.lsh_bucket_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+_LANGID_MARKERS_SQL = {
+    lang: ", ".join(f"'{w}'" for w in markers)
+    for lang, markers in _tq.LANG_MARKERS.items()
+}
+
+@register("text_langid", ("""
+WITH """ + _RAWTOKS + """,
+r AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> x IN (__EN__))) * 1.0 / len(toks) ELSE 0.0 END AS r_en,
+    CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> x IN (__ES__))) * 1.0 / len(toks) ELSE 0.0 END AS r_es,
+    CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> x IN (__DE__))) * 1.0 / len(toks) ELSE 0.0 END AS r_de,
+    CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> x IN (__FR__))) * 1.0 / len(toks) ELSE 0.0 END AS r_fr
+  FROM rawtoks
+)
+SELECT doc_id,
+  CASE WHEN greatest(r_en, r_es, r_de, r_fr) <= 0.05 THEN 'und'
+       WHEN r_en >= greatest(r_es, r_de, r_fr) THEN 'en'
+       WHEN r_es >= greatest(r_de, r_fr) THEN 'es'
+       WHEN r_de >= r_fr THEN 'de'
+       ELSE 'fr' END AS pred_lang,
+  round(r_en, 6) AS en_ratio
+FROM r
+""").replace("__EN__", _LANGID_MARKERS_SQL["en"])
+   .replace("__ES__", _LANGID_MARKERS_SQL["es"])
+   .replace("__DE__", _LANGID_MARKERS_SQL["de"])
+   .replace("__FR__", _LANGID_MARKERS_SQL["fr"]))
+def text_langid(spark, sf_dir):
+    """Language ID by per-language stopword-profile ratios, ties to the
+    earlier profile (datapipe/textqa.py language_id)."""
+    return _tq.language_id(load(spark, sf_dir, "documents"))
+
+
+@register("text_quality", """
+WITH base AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS BIGINT) AS n_alnum,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_chars,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, x -> x IN (__STOPS__))) * 1.0 / len(toks)
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_chars > 0 THEN n_alnum * 1.0 / n_chars ELSE 0.0 END AS alnum_ratio
+  FROM base
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(stop_ratio, 6) AS stop_ratio,
+       round(alnum_ratio, 6) AS alnum_ratio,
+       round(least(1.0, n_tokens / 64.0) * (1.0 - abs(stop_ratio - 0.4)), 6) AS quality
+FROM m
+""".replace("__STOPS__", _STOPS_SQL))
+def text_quality(spark, sf_dir):
+    """Document quality scoring: length/stopword/char-class heuristics
+    (datapipe/textqa.py quality_score)."""
+    return _tq.quality_score(load(spark, sf_dir, "documents"))
+
+
+@register("text_token_counts", """
+WITH base AS (
+  SELECT source AS grp,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS ws,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks,
+         length(text) AS ch
+  FROM documents
+)
+SELECT grp,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ws) AS BIGINT) AS ws_tokens,
+       CAST(sum(len(toks)) AS BIGINT) AS analyzer_tokens,
+       CAST(sum(coalesce(list_sum(list_transform(toks, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))), 0)) AS BIGINT) AS bpe_tokens_est,
+       CAST(sum(ch) AS BIGINT) AS total_chars
+FROM base GROUP BY grp
+""")
+def text_token_counts(spark, sf_dir):
+    """Per-source token accounting: whitespace + analyzer + BPE-ish
+    subword estimate + chars (datapipe/textqa.py token_counts)."""
+    return _tq.token_counts(load(spark, sf_dir, "documents"), group_col="source")
+
+
+@register("doc_fingerprint", """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+FROM documents
+""")
+def doc_fingerprint(spark, sf_dir):
+    """Whitespace/punctuation-insensitive content fingerprint
+    (datapipe/textqa.py fingerprint)."""
+    return _tq.fingerprint(load(spark, sf_dir, "documents"))
+
+
+@register("mm_binary_meta", """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+""")
+def mm_binary_meta(spark, sf_dir):
+    """Multimodal blob plumbing: byte length + sha256 over a binary
+    payload column, JVM-side (datapipe/multimodal.py binary_meta)."""
+    d = load(spark, sf_dir, "documents")
+    out = _mm.binary_meta(d)
+    return out.select("doc_id", F.col("n_bytes").cast("long").alias("n_bytes"), "sha256")
+
+
+@register("mm_features", None)
+def mm_features(spark, sf_dir):
+    """Arrow-batched decode + feature extraction through mapInPandas
+    with a deterministic stub decoder (datapipe/multimodal.py;
+    rows-only — determinism asserted in tests/test_datapipe.py)."""
+    return _mm.extract_features(load(spark, sf_dir, "documents"))
+
+
+@register("mm_frame_sample", None)
+def mm_frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing: 1 row -> n_frames rows via mapInPandas
+    (rows-only; datapipe/multimodal.py)."""
+    return _mm.frame_sample(load(spark, sf_dir, "documents"))
