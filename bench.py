@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "index_build": {...}, "query_p50_ms": ...}
+
+Sections:
+  - index_build: segment-index build over a deterministically generated
+    source-code corpus (corpus.py, seeded) — docs/sec is the north-rule
+    throughput metric.
+  - bm25_*: top-k BM25 through the persisted segment index (float32
+    Lucene-parity path, search/executor.py).
+  - ft_*: the Catalyst-native live fulltext path over the documents
+    table.
+  - relational/datapipe headliners over the testdata tables.
+
+Scaling (N vs 4N cores) is measured by scaling_bench.py, which runs
+this build at two parallelism levels in fresh JVMs and writes
+SCALING.md / updates BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_BUILD_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))
+
+
+def main() -> None:
+    from lucene_solr_spark import entry_queries
+    from lucene_solr_spark.corpus import gen_corpus_spark
+    from lucene_solr_spark.indexing.builder import build_index
+    from lucene_solr_spark.queryast import BooleanClause, BooleanQuery, Occur, TermQuery, PhraseQuery
+    from lucene_solr_spark.search.executor import IndexReader, Searcher
+    from lucene_solr_spark.session import get_spark
+
+    spark = get_spark("lss-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+    t_all = time.time()
+
+    # -- index build (north-rule throughput) --------------------------------
+    # corpus is materialized to parquet first: the measured job reads a
+    # source table (the Iceberg-scan analog), like the reference's
+    # line-doc file benchmarks read Reuters from disk
+    idx_dir = "/tmp/lss_bench_index"
+    corpus_path = f"/tmp/lss_bench_corpus_{N_BUILD_DOCS}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    if not os.path.exists(corpus_path):
+        t0 = time.time()
+        gen_corpus_spark(spark, N_BUILD_DOCS, partitions=CPUS).write.parquet(corpus_path)
+        timings["corpus_gen"] = round(time.time() - t0, 3)
+    corpus = spark.read.parquet(corpus_path)
+    t0 = time.time()
+    build_index(spark, idx_dir, [("bench", corpus)], analyzer="standard", norms="byte")
+    build_s = time.time() - t0
+    timings["index_build"] = round(build_s, 3)
+    index_build = {
+        "docs": N_BUILD_DOCS,
+        "wall_s": round(build_s, 3),
+        "docs_per_sec": round(N_BUILD_DOCS / build_s, 1),
+        "cpus": CPUS,
+    }
+
+    # -- BM25 query latency over the segment index --------------------------
+    reader = IndexReader(spark, idx_dir, norms="byte")
+    searcher = Searcher(reader, precision="float32")
+    bm25_queries = {
+        "bm25_term": TermQuery(term="import"),
+        "bm25_and": BooleanQuery(clauses=(
+            BooleanClause(Occur.MUST, TermQuery(term="import")),
+            BooleanClause(Occur.MUST, TermQuery(term="ident042")),
+        )),
+        "bm25_or": BooleanQuery(clauses=(
+            BooleanClause(Occur.SHOULD, TermQuery(term="class")),
+            BooleanClause(Occur.SHOULD, TermQuery(term="ident007")),
+            BooleanClause(Occur.SHOULD, TermQuery(term="ident123")),
+        )),
+        "bm25_phrase": PhraseQuery(terms=("def", "class")),
+    }
+    lat_ms = []
+    for name, q in bm25_queries.items():
+        t0 = time.time()
+        searcher.search(q, k=10)
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        lat_ms.append(dt * 1000)
+    lat_ms.sort()
+    p50_ms = lat_ms[len(lat_ms) // 2]
+
+    # -- live fulltext + relational + datapipe headliners -------------------
+    headliners = [
+        "ft_term_bm25", "ft_bool_and_bm25", "ft_bool_or_bm25",
+        "ft_phrase_bm25", "ft_term_facet",
+        "tpch_q1", "tpch_q3_shipping", "rollup_stats", "grouping_topk",
+        "timeseries_events", "join_inner", "join_left",
+        "dedup_exact", "dedup_simhash", "dedup_minhash_lsh",
+        "ann_cosine_topk", "text_quality", "text_token_counts",
+    ]
+    reg = entry_queries.queries()
+    for name in headliners:
+        t0 = time.time()
+        df = reg[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(time.time() - t_all, 3)
+    out = {
+        "metric": "index-build docs/sec + BM25 p50 ms + headline query suite wall sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "index_build": index_build,
+        "query_p50_ms": round(p50_ms, 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

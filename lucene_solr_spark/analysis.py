@@ -87,6 +87,45 @@ def standard_analyze(text: str) -> List[Tuple[str, int]]:
     return out
 
 
+def invert_tokens(text: str):
+    """Chamber-optimized standard chain: returns (per_term positions
+    dict, field_length) in one pass.
+
+    Semantically identical to grouping standard_analyze(text) by term:
+    the whole text is lowercased ONCE (C-speed) before tokenizing,
+    which is safe whenever lower() preserves string length — then token
+    boundaries are unchanged (lowercasing maps word chars to word
+    chars) and per-token lower() equals slicing the lowered text. The
+    rare length-changing cases (e.g. U+0130) fall back to the
+    tokenize-then-lower reference path.
+    """
+    low = text.lower()
+    if len(low) != len(text):
+        per: dict = {}
+        toks = standard_analyze(text)
+        for t, p in toks:
+            lst = per.get(t)
+            if lst is None:
+                per[t] = lst = []
+            lst.append(p)
+        return per, len(toks)
+    per = {}
+    stop = ENGLISH_STOP_WORDS
+    pos = -1
+    length = 0
+    for m in _TOKEN_RE.finditer(low):
+        pos += 1
+        tok = m.group(0)
+        if len(tok) > MAX_TOKEN_LENGTH or tok in stop:
+            continue
+        lst = per.get(tok)
+        if lst is None:
+            per[tok] = lst = []
+        lst.append(pos)
+        length += 1
+    return per, length
+
+
 def standard_field_length(text: str) -> int:
     """BM25 field length = #tokens emitted after StopFilter (no overlaps
     in this chain, so numOverlap == 0)."""

@@ -4,27 +4,30 @@ The Spark-first restatement of the reference write path
 (IndexWriter.addDocument -> DefaultIndexingChain.invert ->
 FreqProxTermsWriter flush -> Lucene50PostingsWriter blocks; SURVEY §3.3):
 
-  DWPT (thread-private chamber)       == Spark partition
-  invert (tokens -> term hash pools)  == explode + run-aggregation
-  flush sort (sortPostings:77)        == one hash shuffle on
-                                         (term, doc-chunk) + sortWithinPartitions
-  FOR-128 block write                 == mapInPandas numpy bit-packing
+  DWPT (thread-private chamber)       == Spark partition: ONE fused
+      mapInPandas does analyze + invert + block packing per partition
+      (DocumentsWriter.java:101 — chambers never share state)
+  term hash pools                     == per-chamber python dict of
+      per-term (docs, tfs, norms, positions) arrays
+      (TermsHashPerField.java:30)
+  flush-by-RAM                        == chamber flushes block rows
+      every FLUSH_TOKENS buffered tokens
+      (FlushByRamOrCountsPolicy.java:58, 16MB default)
+  FOR-128 block write                 == numpy bit-packing (codec.py)
   segment + segments_N commit         == parquet dirs + manifest commit
 
-Scale/skew design (north rule):
-  - ONE shuffle moves the exploded tokens; partition key is
-    (term, doc_id >> CHUNK_BITS) — the salting analog: a mega-term
-    (`import`, `the`) is split into disjoint doc-range chunks that
-    hash-balance across partitions, so no task owns a whole hot
-    posting list (CompositeIdRouter.java:45-54 is the reference's
-    hash-routing; the chunk salt is ours).
-  - no repartitionByRange: range partitioning samples its input, which
-    would run the (expensive) analysis UDF twice.
-  - analysis runs once: the tokenized frame is persisted
-    (MEMORY_AND_DISK -> executor spill at scale) and feeds both the
-    doc_meta write and the postings shuffle.
-  - term stats aggregate per-block metadata (two-level agg), never the
-    raw postings.
+Scale design (north rule) — NO token-level shuffle at all:
+  assign_doc_ids range-partitions the corpus by the canonical
+  (repo, path) order, so every partition owns a contiguous ascending
+  doc_id range. Per-term posting lists from different chambers are
+  therefore disjoint ordered doc ranges: each chamber emits FINAL
+  block rows, and the postings table is just their union. The only
+  data that crosses the wire is block rows (~tokens/128) and the
+  doc-meta rows. Chamber-boundary tail blocks (<128 postings) are
+  repacked by the tiered merge (merge.py), exactly like Lucene
+  consolidates small segments. Skew is a non-issue on the write path
+  (no shuffle key to skew); term_stats aggregates only block-level
+  metadata (two-level agg).
 """
 
 from __future__ import annotations
@@ -37,9 +40,7 @@ from typing import Iterator, List, Optional
 import numpy as np
 import pandas as pd
 
-from ..analysis import make_analyze_udf
 from ..codec import split_blocks
-from ..smallfloat import int_to_byte4_np
 from .docids import assign_doc_ids
 from .manifest import Manifest, ManifestStore, SegmentInfo
 
@@ -48,107 +49,182 @@ POSTINGS_SCHEMA = (
     "sum_tf long, min_norm int, blob binary"
 )
 
+# one UDF pass emits BOTH postings blocks and doc metadata (discriminated
+# union — avoids tokenizing the corpus twice)
+INVERT_SCHEMA = (
+    "kind string, "
+    + POSTINGS_SCHEMA + ", "
+    "doc_id long, repo string, path string, commit string, lang string, "
+    "length int, norm int, sha256 string"
+)
+
 CHUNK_BITS = 13  # 8192-doc chunks: the unit of mega-term splitting
 BLOCK = 128
-
-
-class _TermBuffer:
-    """Aggregated postings of the current term, pending block emission."""
-
-    __slots__ = ("docs", "tfs", "norms", "pos")
-
-    def __init__(self):
-        self.docs: List[int] = []
-        self.tfs: List[int] = []
-        self.norms: List[int] = []
-        self.pos: List[np.ndarray] = []  # one array per posting
-
-
-def _emit_blocks(term: str, buf: _TermBuffer, out: List[dict], *, final: bool,
-                 with_positions: bool) -> None:
-    """Emit FOR-128 block rows. Non-final: hold back the last posting
-    (the next input batch may continue the same doc) and emit only full
-    blocks."""
-    n = len(buf.docs)
-    limit = n if final else n - 1
-    cut = limit if final else (limit // BLOCK) * BLOCK
-    if cut <= 0:
-        return
-    d = np.asarray(buf.docs[:cut], dtype=np.int64)
-    f = np.asarray(buf.tfs[:cut], dtype=np.int64)
-    nb = np.asarray(buf.norms[:cut], dtype=np.int64)
-    p = None
-    if with_positions:
-        p = (
-            np.concatenate(buf.pos[:cut])
-            if cut
-            else np.array([], dtype=np.int64)
-        )
-    for blk in split_blocks(d, f, nb, nb, p):
-        out.append(
-            {
-                "term": term,
-                **{k: blk[k] for k in ("n", "min_doc", "max_doc", "max_tf", "sum_tf", "min_norm", "blob")},
-            }
-        )
-    del buf.docs[:cut], buf.tfs[:cut], buf.norms[:cut]
-    if with_positions:
-        del buf.pos[:cut]
+FLUSH_TOKENS = 4_000_000  # per-chamber RAM-budget analog (IndexWriterConfig 16MB)
 
 
 def _pack_partition(batches: Iterator[pd.DataFrame], with_positions: bool) -> Iterator[pd.DataFrame]:
     """Aggregate raw (term, doc_id, norm[, pos]) token rows — sorted by
     (term, doc_id[, pos]) within the partition — into per-(term, doc)
-    postings, then into block rows. Docs and terms may span input
-    batches; buffers carry across."""
-    cur_term: Optional[str] = None
-    buf = _TermBuffer()
-    out_rows: List[dict] = []
+    postings, then into FOR-128 block rows.
 
-    for pdf in batches:
-        if len(pdf) == 0:
-            continue
-        terms = pdf["term"].to_numpy()
-        docs = pdf["doc_id"].to_numpy(dtype=np.int64)
-        norms = pdf["norm"].to_numpy(dtype=np.int64)
-        pos = pdf["pos"].to_numpy(dtype=np.int64) if with_positions else None
-        # run boundaries where (term, doc) changes
-        term_change = np.empty(len(pdf), dtype=bool)
-        term_change[0] = True
-        term_change[1:] = terms[1:] != terms[:-1]
-        doc_change = np.empty(len(pdf), dtype=bool)
-        doc_change[0] = True
-        doc_change[1:] = docs[1:] != docs[:-1]
-        starts = np.flatnonzero(term_change | doc_change)
-        ends = np.append(starts[1:], len(pdf))
-        for s, e in zip(starts, ends):
-            term = terms[s]
-            if term != cur_term:
-                if cur_term is not None:
-                    _emit_blocks(cur_term, buf, out_rows, final=True,
-                                 with_positions=with_positions)
-                cur_term = term
-            doc = int(docs[s])
-            tf = int(e - s)
-            if buf.docs and buf.docs[-1] == doc:
-                # same doc continued from the previous batch
-                buf.tfs[-1] += tf
-                if with_positions:
-                    buf.pos[-1] = np.concatenate([buf.pos[-1], pos[s:e]])
-            else:
-                buf.docs.append(doc)
-                buf.tfs.append(tf)
-                buf.norms.append(int(norms[s]))
-                if with_positions:
-                    buf.pos.append(pos[s:e])
-        _emit_blocks(cur_term, buf, out_rows, final=False, with_positions=with_positions)
-        if out_rows:
+    Fully vectorized: the partition's Arrow batches are concatenated
+    once, run boundaries come from one numpy diff pass, and the only
+    Python loop is per DISTINCT TERM (split_blocks per term), not per
+    posting. Memory = the partition's token rows (~tens of MB when
+    shuffle partitions are sized to the corpus — the same invariant any
+    sort-based flush has; raise spark.sql.shuffle.partitions to shrink).
+    """
+    pdfs = [p for p in batches if len(p)]
+    if not pdfs:
+        return
+    pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+    n = len(pdf)
+    terms = pdf["term"].to_numpy()
+    docs = pdf["doc_id"].to_numpy(dtype=np.int64)
+    norms = pdf["norm"].to_numpy(dtype=np.int64)
+    pos = pdf["pos"].to_numpy(dtype=np.int64) if with_positions else None
+
+    term_change = np.empty(n, dtype=bool)
+    term_change[0] = True
+    term_change[1:] = terms[1:] != terms[:-1]
+    doc_change = np.empty(n, dtype=bool)
+    doc_change[0] = True
+    doc_change[1:] = docs[1:] != docs[:-1]
+    run_start = np.flatnonzero(term_change | doc_change)  # one run = one posting
+    run_end = np.append(run_start[1:], n)
+    run_tf = (run_end - run_start).astype(np.int64)
+    run_doc = docs[run_start]
+    run_norm = norms[run_start]
+
+    is_term_head = term_change[run_start]
+    term_first = np.flatnonzero(is_term_head)      # run index of each term's first posting
+    term_last = np.append(term_first[1:], len(run_start))
+
+    out_rows: List[dict] = []
+    for s, e in zip(term_first, term_last):
+        term = terms[run_start[s]]
+        p = None
+        if with_positions:
+            p = pos[run_start[s]: run_end[e - 1]]  # runs are contiguous rows
+        for blk in split_blocks(run_doc[s:e], run_tf[s:e], run_norm[s:e],
+                                run_norm[s:e], p):
+            out_rows.append(
+                {
+                    "term": term,
+                    **{k: blk[k] for k in ("n", "min_doc", "max_doc", "max_tf", "sum_tf", "min_norm", "blob")},
+                }
+            )
+        if len(out_rows) >= 4096:
             yield pd.DataFrame(out_rows)
             out_rows = []
-    if cur_term is not None:
-        _emit_blocks(cur_term, buf, out_rows, final=True, with_positions=with_positions)
     if out_rows:
         yield pd.DataFrame(out_rows)
+
+
+def _make_invert_fn(analyzer: str, norms: str, with_positions: bool,
+                    flush_tokens: int = FLUSH_TOKENS):
+    """Per-partition fused analyze+invert ("DWPT chamber",
+    DocumentsWriterPerThread / TermsHashPerField.add:
+    index/DefaultIndexingChain.java:763-869):
+
+    Each input partition holds a CONTIGUOUS ascending doc_id range
+    (assign_doc_ids range-partitions by the canonical order), so the
+    chamber can emit FINAL per-term block rows directly — per-term doc
+    lists from different partitions are disjoint ordered ranges and
+    concatenate trivially. This removes the token-level shuffle
+    entirely: nothing larger than block rows ever crosses the wire.
+    Tail blocks at chamber boundaries are shorter than 128; the tiered
+    merge (merge.py) repacks them, exactly like Lucene segment merges.
+
+    Memory: the chamber flushes whenever `flush_tokens` tokens are
+    buffered (flush-by-RAM analog, FlushByRamOrCountsPolicy.java:58).
+    """
+    from ..analysis import invert_tokens, simple_analyze
+    from ..smallfloat import int_to_byte4
+
+    all_cols = [c.strip().split()[0] for c in INVERT_SCHEMA.split(",")]
+
+    def pad(df: pd.DataFrame) -> pd.DataFrame:
+        for c in all_cols:
+            if c not in df.columns:
+                df[c] = None
+        return df[all_cols]
+
+    def invert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict = {}
+        n_buffered = 0
+
+        def flush() -> pd.DataFrame:
+            nonlocal acc, n_buffered
+            rows: List[dict] = []
+            for term, (docs, tfs, nbs, plist) in acc.items():
+                p = None
+                if with_positions:
+                    p = np.asarray([x for sub in plist for x in sub], dtype=np.int64)
+                for blk in split_blocks(
+                    np.asarray(docs, dtype=np.int64),
+                    np.asarray(tfs, dtype=np.int64),
+                    np.asarray(nbs, dtype=np.int64),
+                    np.asarray(nbs, dtype=np.int64),
+                    p,
+                ):
+                    rows.append({"kind": "blk", "term": term,
+                                 **{k: blk[k] for k in ("n", "min_doc", "max_doc",
+                                                        "max_tf", "sum_tf", "min_norm", "blob")}})
+            acc = {}
+            n_buffered = 0
+            return pad(pd.DataFrame(rows)) if rows else None
+
+        for pdf in batches:
+            doc_rows = {k: [] for k in ("doc_id", "repo", "path", "commit",
+                                        "lang", "length", "norm", "sha256")}
+            for doc_id, repo, path, commit, lang, content in zip(
+                pdf["doc_id"], pdf["repo"], pdf["path"], pdf["commit"],
+                pdf["lang"], pdf["content"],
+            ):
+                text = content or ""
+                if analyzer == "standard":
+                    per_doc, length = invert_tokens(text)
+                else:
+                    per_doc = {}
+                    for i, t in enumerate(simple_analyze(text)):
+                        per_doc.setdefault(t, []).append(i)
+                    length = sum(len(v) for v in per_doc.values())
+                nb = int_to_byte4(length) if norms == "byte" else length
+                d = int(doc_id)
+                for term, plist in per_doc.items():
+                    slot = acc.get(term)
+                    if slot is None:
+                        acc[term] = slot = ([], [], [], [])
+                    slot[0].append(d)
+                    slot[1].append(len(plist))
+                    slot[2].append(nb)
+                    if with_positions:
+                        slot[3].append(plist)
+                n_buffered += length
+                doc_rows["doc_id"].append(d)
+                doc_rows["repo"].append(repo)
+                doc_rows["path"].append(path)
+                doc_rows["commit"].append(commit)
+                doc_rows["lang"].append(lang)
+                doc_rows["length"].append(length)
+                doc_rows["norm"].append(nb)
+                doc_rows["sha256"].append(
+                    hashlib.sha256(text.encode()).hexdigest()
+                )
+            df_docs = pd.DataFrame(doc_rows)
+            df_docs.insert(0, "kind", "doc")
+            yield pad(df_docs)
+            if n_buffered >= flush_tokens:
+                out = flush()
+                if out is not None:
+                    yield out
+        out = flush()
+        if out is not None:
+            yield out
+
+    return invert
 
 
 def build_segment(
@@ -168,63 +244,37 @@ def build_segment(
     (used by the SQL-oracle-checked query surface).
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.functions import pandas_udf
     from pyspark.storagelevel import StorageLevel
 
     parts = num_partitions or spark.sparkContext.defaultParallelism
     t0 = time.time()
+    phases = {}
 
     with_ids, id_cache = assign_doc_ids(
         corpus_df, ["repo", "path"], base=doc_base, num_partitions=parts
     )
+    phases["ids"] = round(time.time() - t0, 2)
 
-    analyze = make_analyze_udf(analyzer)
+    inverted = with_ids.mapInPandas(
+        _make_invert_fn(analyzer, norms, positions), schema=INVERT_SCHEMA
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    @pandas_udf("string")
-    def sha256_udf(texts: pd.Series) -> pd.Series:
-        # independent of Spark's sha2() so the per-row integrity check
-        # compares two implementations (input_hint: content sha256 equality)
-        return texts.map(lambda t: hashlib.sha256((t or "").encode()).hexdigest())
-
-    analyzed = with_ids.withColumn("tokens", analyze(F.col("content"))).withColumn(
-        "length", F.size("tokens")
-    )
-    if norms == "byte":
-
-        @pandas_udf("int")
-        def norm_udf(lengths: pd.Series) -> pd.Series:
-            return pd.Series(int_to_byte4_np(lengths.to_numpy()).astype(np.int64))
-
-        analyzed = analyzed.withColumn("norm", norm_udf(F.col("length")))
-    else:
-        analyzed = analyzed.withColumn("norm", F.col("length"))
-    analyzed = analyzed.persist(StorageLevel.MEMORY_AND_DISK)
-
-    doc_meta = analyzed.select(
-        "doc_id", "repo", "path", "commit", "lang", "length", "norm",
-        sha256_udf(F.col("content")).alias("sha256"),
-    )
     os.makedirs(seg_dir, exist_ok=True)
-    doc_meta.write.mode("overwrite").parquet(os.path.join(seg_dir, "doc_meta.parquet"))
-
-    # invert + flush: explode, ONE hash shuffle on (term, chunk), sort, pack
-    cols = ["doc_id", "norm", F.explode("tokens").alias("t")]
-    flat = analyzed.select(*cols).select(
-        "doc_id",
-        "norm",
-        F.col("t.term").alias("term"),
-        F.col("t.pos").alias("pos"),
-        F.shiftright("doc_id", CHUNK_BITS).alias("chunk"),
+    doc_meta = inverted.where(F.col("kind") == "doc").select(
+        "doc_id", "repo", "path", "commit", "lang", "length", "norm", "sha256"
     )
-    sort_cols = ["term", "doc_id"] + (["pos"] if positions else [])
-    shuffled = flat.repartition(parts, "term", "chunk").sortWithinPartitions(*sort_cols)
-    if not positions:
-        shuffled = shuffled.select("term", "doc_id", "norm")
-    packed = shuffled.mapInPandas(
-        lambda it: _pack_partition(it, positions), schema=POSTINGS_SCHEMA
+    tp = time.time()
+    doc_meta.write.mode("overwrite").parquet(os.path.join(seg_dir, "doc_meta.parquet"))
+    phases["invert_docmeta"] = round(time.time() - tp, 2)
+
+    packed = inverted.where(F.col("kind") == "blk").select(
+        "term", "n", "min_doc", "max_doc", "max_tf", "sum_tf", "min_norm", "blob"
     )
     postings_path = os.path.join(seg_dir, "postings.parquet")
+    tp = time.time()
     packed.write.mode("overwrite").parquet(postings_path)
+    phases["postings_write"] = round(time.time() - tp, 2)
+    inverted.unpersist()
 
     # two-level term stats: per-block metadata -> per-term (reads only
     # the small metadata columns back from the written postings)
@@ -233,6 +283,7 @@ def build_segment(
         F.sum("n").alias("df"), F.sum("sum_tf").alias("ttf")
     )
     term_stats.write.mode("overwrite").parquet(os.path.join(seg_dir, "term_stats.parquet"))
+    phases["stats"] = round(time.time() - tp, 2)
 
     meta = spark.read.parquet(os.path.join(seg_dir, "doc_meta.parquet"))
     counters_row = meta.agg(
@@ -244,12 +295,13 @@ def build_segment(
     src_sha = corpus_df.select(
         "repo", "path", F.sha2(F.col("content"), 256).alias("sha_jvm")
     )
+    tp = time.time()
     mismatches = (
         meta.join(src_sha, ["repo", "path"], "inner")
         .where(F.col("sha256") != F.col("sha_jvm"))
         .count()
     )
-    analyzed.unpersist()
+    phases["sha_check"] = round(time.time() - tp, 2)
     id_cache.unpersist()
     if mismatches:
         raise RuntimeError(f"content sha256 mismatch on {mismatches} rows")
@@ -265,6 +317,7 @@ def build_segment(
         "size_bytes": size_bytes,
         "wall_s": time.time() - t0,
         "sha_mismatches": int(mismatches),
+        "phases": phases,
     }
 
 

@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""North-rule scaling evidence: the same index-build job at two
+parallelism levels (local[N] vs local[4N], fresh JVM each) over the
+SAME deterministic corpus, reporting throughput at both plus scaling
+efficiency = throughput(4N) / (4 * throughput(N)).
+
+This is the sandbox proxy for the two-cluster-size criterion (no real
+cluster here): parallelism enters exactly where it would on a cluster —
+input partitions, the (term, doc-chunk) shuffle, and shuffle
+partitions — so the efficiency number measures the same contention
+the north rule targets (skew salting, partial aggs, no driver
+bottlenecks).
+
+Usage: python scaling_bench.py [--docs 50000] [--n 8]
+Writes SCALING.json and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+WORKER = r"""
+import json, shutil, sys, time
+sys.path.insert(0, {repo!r})
+from lucene_solr_spark.corpus import gen_corpus_spark
+from lucene_solr_spark.indexing.builder import build_index
+from lucene_solr_spark.session import get_spark
+
+cpus = {cpus}
+docs = {docs}
+spark = get_spark("lss-scaling", master=f"local[{{cpus}}]", shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+idx = "/tmp/lss_scaling_{cpus}"
+shutil.rmtree(idx, ignore_errors=True)
+corpus_path = f"/tmp/lss_bench_corpus_{{docs}}"
+import os
+if not os.path.exists(corpus_path):
+    gen_corpus_spark(spark, docs, partitions=32).write.parquet(corpus_path)
+corpus = spark.read.parquet(corpus_path)
+t0 = time.time()
+build_index(spark, idx, [("scale", corpus)], analyzer="standard", norms="byte")
+dt = time.time() - t0
+print("RESULT " + json.dumps({{"cpus": cpus, "docs": docs, "wall_s": dt,
+                               "docs_per_sec": docs / dt}}))
+spark.stop()
+"""
+
+
+def run_level(repo: str, cpus: int, docs: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    code = WORKER.format(repo=repo, cpus=cpus, docs=docs)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, env=env,
+        timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"worker local[{cpus}] failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000")))
+    ap.add_argument("--n", type=int, default=8, help="small parallelism level (big = 4n)")
+    args = ap.parse_args()
+    repo = os.path.dirname(os.path.abspath(__file__))
+
+    # the sandbox host's absolute speed fluctuates (shared VM): interleave
+    # levels and take the best run per level so both see comparable
+    # machine conditions
+    lo_runs = []
+    hi_runs = []
+    for _ in range(2):
+        lo_runs.append(run_level(repo, args.n, args.docs))
+        hi_runs.append(run_level(repo, 4 * args.n, args.docs))
+    lo = min(lo_runs, key=lambda r: r["wall_s"])
+    hi = min(hi_runs, key=lambda r: r["wall_s"])
+    eff = hi["docs_per_sec"] / (4.0 * lo["docs_per_sec"])
+    result = {
+        "docs": args.docs,
+        "n_cpus": args.n,
+        "low": {k: round(v, 2) for k, v in lo.items()},
+        "high": {k: round(v, 2) for k, v in hi.items()},
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    with open(os.path.join(repo, "SCALING.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
