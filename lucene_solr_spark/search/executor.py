@@ -46,6 +46,7 @@ import pandas as pd
 
 from .. import bm25
 from ..codec import decode_block, decode_block_positions
+from ..smallfloat import LENGTH_TABLE
 from ..indexing.manifest import ManifestStore
 from ..queryast import (
     BooleanQuery,
@@ -235,9 +236,13 @@ class Searcher:
     # -- phrase leaf ---------------------------------------------------------
 
     def _score_phrase(self, cid: int, q: PhraseQuery, boost: float):
-        """Exact phrase (slop=0): decode positions, per-doc consecutive
-        intersection in one applyInPandas; tf = #phrase occurrences; idf
-        = sum of per-term idfs (BM25Similarity.idfExplain array)."""
+        """Exact phrase (slop=0, ExactPhraseMatcher): vectorized block
+        decode to exploded (doc_id, pos) rows per term, then a JVM
+        position self-join — term i matches at (doc, p0+i) — counts
+        phrase occurrences; tf scored like a term with idf = sum of
+        per-term idfs (BM25Similarity idfExplain array). No per-doc
+        Python anywhere: decode is numpy-batch, matching is a Catalyst
+        join, final scoring is one Arrow pass over (doc, tf, norm)."""
         from pyspark.sql import functions as F
 
         spark = self.reader.spark
@@ -267,65 +272,69 @@ class Searcher:
         norms_mode = self.reader.norms
         term_idx = {t: i for i, t in enumerate(terms)}
         bc = spark.sparkContext.broadcast(
-            {"terms": terms, "cache": cache, "wv": weight_value,
-             "avgdl32": float(avgdl32),
+            {"cache": cache, "wv": weight_value, "avgdl32": float(avgdl32),
              "idf64": idf_sum64, "avgdl64": avgdl64, "boost": boost}
         )
 
         def decode_pos(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # exploded occurrence rows, fully vectorized: doc repeated
+            # per tf via np.repeat; pos already flat in the block
             for pdf in batches:
-                rows = {"doc_id": [], "tidx": [], "norm": [], "positions": []}
+                cols_doc, cols_ti, cols_nb, cols_pos = [], [], [], []
                 for term, blob in zip(pdf["term"], pdf["blob"]):
                     doc_ids, tfs, norms, pos = decode_block_positions(bytes(blob))
-                    off = 0
                     ti = term_idx[term]
-                    for d, tf, nb in zip(doc_ids, tfs, norms):
-                        rows["doc_id"].append(int(d))
-                        rows["tidx"].append(ti)
-                        rows["norm"].append(int(nb))
-                        rows["positions"].append(pos[off : off + tf].tolist())
-                        off += tf
-                if rows["doc_id"]:
-                    yield pd.DataFrame(rows)
+                    cols_doc.append(np.repeat(doc_ids, tfs))
+                    cols_nb.append(np.repeat(norms, tfs))
+                    cols_ti.append(np.full(len(pos), ti, dtype=np.int32))
+                    cols_pos.append(pos)
+                if cols_doc:
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": np.concatenate(cols_doc),
+                            "tidx": np.concatenate(cols_ti),
+                            "norm": np.concatenate(cols_nb),
+                            "pos": np.concatenate(cols_pos),
+                        }
+                    )
 
-        per_term = (
+        occ = (
             self.reader.blocks.where(F.col("term").isin(terms))
-            .mapInPandas(decode_pos, "doc_id long, tidx int, norm int, positions array<int>")
+            .mapInPandas(decode_pos, "doc_id long, tidx int, norm int, pos long")
+        )
+        first = occ.where(F.col("tidx") == 0).select("doc_id", "norm", "pos")
+        cur = first
+        for i in range(1, len(terms)):
+            nxt = occ.where(F.col("tidx") == i).select(
+                F.col("doc_id").alias("d2"), (F.col("pos") - i).alias("p2")
+            )
+            cur = cur.join(
+                nxt, (cur["doc_id"] == nxt["d2"]) & (cur["pos"] == nxt["p2"]), "inner"
+            ).select(cur["doc_id"], cur["norm"], cur["pos"])
+        freq = cur.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("tf"), F.first("norm").alias("norm")
         )
 
-        n_terms = len(terms)
-
-        def phrase_freq(pdf: pd.DataFrame) -> pd.DataFrame:
+        def score_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             info = bc.value
-            by_t = {int(t): p for t, p in zip(pdf["tidx"], pdf["positions"])}
-            if len(by_t) < n_terms:
-                return pd.DataFrame({"doc_id": [], "score": []})
-            first = by_t[0]
-            count = 0
-            others = [set(by_t[i]) for i in range(1, n_terms)]
-            for p in first:
-                if all((p + k + 1) in others[k] for k in range(n_terms - 1)):
-                    count += 1
-            if count == 0:
-                return pd.DataFrame({"doc_id": [], "score": []})
-            norm_b = int(pdf["norm"].iloc[0])
-            if precision == "float32":
-                if norms_mode == "byte":
-                    cache_arr = np.asarray(info["cache"], dtype=np.float32)
-                    nv = cache_arr[norm_b & 0xFF]
+            for pdf in batches:
+                tf = pdf["tf"].to_numpy(dtype=np.int64)
+                nb = pdf["norm"].to_numpy(dtype=np.int64)
+                if precision == "float32":
+                    if norms_mode == "byte":
+                        cache_arr = np.asarray(info["cache"], dtype=np.float32)
+                        nv = cache_arr[nb & 0xFF]
+                    else:
+                        nv = _norm32(nb, info["avgdl32"])
+                    f32 = tf.astype(np.float32)
+                    sc = ((np.float32(info["wv"]) * f32) / (f32 + nv)).astype(np.float32).astype(np.float64)
                 else:
-                    nv = _norm32(np.array([norm_b]), info["avgdl32"])[0]
-                freq = np.float32(count)
-                sc = float(np.float32((np.float32(info["wv"]) * freq) / (freq + nv)))
-            else:
-                dl = float(norm_b)
-                denom = count + 1.2 * (1 - 0.75 + 0.75 * dl / info["avgdl64"])
-                sc = info["idf64"] * (count * 2.2) / denom * info["boost"]
-            return pd.DataFrame({"doc_id": [int(pdf["doc_id"].iloc[0])], "score": [sc]})
+                    dl = nb.astype(np.float64)
+                    denom = tf + 1.2 * (1 - 0.75 + 0.75 * dl / info["avgdl64"])
+                    sc = info["idf64"] * (tf * 2.2) / denom * info["boost"]
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "score": sc})
 
-        scored = per_term.groupBy("doc_id").applyInPandas(
-            phrase_freq, "doc_id long, score double"
-        )
+        scored = freq.mapInPandas(score_rows, "doc_id long, score double")
         return scored.select(F.lit(cid).cast("int").alias("clause_id"), "doc_id", "score")
 
     # -- boolean composition --------------------------------------------------
@@ -520,13 +529,168 @@ class Searcher:
             pass
         return out
 
+    # -- block-max WAND pruning (Ding & Suel 2011; Broder et al. 2003) -------
+
+    WAND_MARGIN = 1e-4  # float32 rounding slack (CheckHits tolerance scale)
+
+    def _block_upper_bounds(self, terms_with_boost: List[Tuple[str, float]]):
+        """Block metadata + per-block upper-bound score UB.
+
+        UB(block) = weight * max_tf / (max_tf + norm_value(min_norm)):
+        BM25 is increasing in tf and decreasing in doc length, so the
+        block's (max_tf, min_norm) pair bounds every doc in it. The
+        norm lookup is a broadcast join against a tiny (term x 256)
+        dim table — no UDF, no driver collect of block rows."""
+        from pyspark.sql import functions as F
+
+        weights = self._weights(terms_with_boost)
+        rows = []
+        for (term, boost), w in weights.items():
+            if self.precision == "float32":
+                wv, cache = w["wv"], w["cache"]
+            else:
+                wv = w["idf"] * (bm25.K1 + 1.0) * w["boost"]
+                cache = None
+            if self.reader.norms != "byte":
+                continue
+            for nb in range(256):
+                if cache is not None:
+                    nv = float(cache[nb])
+                else:
+                    nv = 1.2 * (0.25 + 0.75 * float(LENGTH_TABLE[nb]) / w["avgdl"])
+                rows.append((term, nb, float(wv), nv))
+        spark = self.reader.spark
+        if self.reader.norms == "byte":
+            dim = spark.createDataFrame(rows, "term string, nb int, wv double, nv double")
+            blocks = self.reader.blocks.where(
+                F.col("term").isin([t for t, _ in terms_with_boost])
+            )
+            joined = blocks.join(
+                F.broadcast(dim),
+                (blocks["term"] == dim["term"]) & (blocks["min_norm"] == dim["nb"]),
+            ).drop(dim["term"])
+            ub = (F.col("wv") * F.col("max_tf")) / (F.col("max_tf") + F.col("nv"))
+            return joined.withColumn("ub", ub)
+        # exact-norm mode: nv from min_norm (a length) inline
+        blocks = self.reader.blocks.where(
+            F.col("term").isin([t for t, _ in terms_with_boost])
+        )
+        parts = []
+        for (term, boost), w in weights.items():
+            if self.precision == "float32":
+                wv = float(w["wv"])
+                avgdl = float(w["avgdl32"])
+            else:
+                wv = w["idf"] * (bm25.K1 + 1.0) * w["boost"]
+                avgdl = w["avgdl"]
+            b = blocks.where(F.col("term") == term)
+            nv = F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("min_norm") / F.lit(avgdl))
+            parts.append(b.withColumn("wv", F.lit(wv)).withColumn(
+                "ub", (F.lit(wv) * F.col("max_tf")) / (F.col("max_tf") + nv)
+            ))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _search_pruned_or(self, terms_with_boost: List[Tuple[str, float]],
+                          k: int) -> "pd.DataFrame":
+        """Rank-safe block-max top-k for a term / OR-of-terms query.
+
+        Phase A: decode each term's top ceil(2k/128)+1 blocks by UB ->
+        partial scores -> threshold = k-th best partial total (a LOWER
+        bound of the true k-th score, so pruning with it is safe).
+        Phase B: keep only blocks with
+            UB + sum(other terms' global max UB) >= threshold - margin
+        and rescore. Docs whose some-term blocks were pruned surface
+        with partial totals, but the pruning condition proves their
+        TRUE total < threshold <= true k-th score, so the top-k rows
+        are exactly the exhaustive ones (shadow-verified in
+        tests/test_wand.py)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import Window
+
+        ubdf = self._block_upper_bounds(terms_with_boost).persist()
+        try:
+            n_probe = (2 * k + 127) // 128 + 1
+            w = Window.partitionBy("term").orderBy(F.desc("ub"), F.asc("min_doc"))
+            probe = (
+                ubdf.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") <= n_probe)
+                .drop("rn")
+            )
+            clause_terms = [(i, t, b) for i, (t, b) in enumerate(terms_with_boost)]
+            pa = self._score_terms(clause_terms, blocks_df=probe)
+            pa_top = (
+                pa.groupBy("doc_id").agg(F.sum("score").alias("score"))
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+                .collect()
+            )
+            if len(pa_top) < k:
+                theta = -float("inf")  # not enough candidates: no pruning
+            else:
+                theta = float(pa_top[-1]["score"])
+            maxubs = {
+                r["term"]: float(r["mx"])
+                for r in ubdf.groupBy("term").agg(F.max("ub").alias("mx")).collect()
+            }
+            slack = {
+                t: sum(v for t2, v in maxubs.items() if t2 != t)
+                for t, _ in terms_with_boost
+            }
+            slack_expr = F.lit(0.0)
+            for t, s in slack.items():
+                slack_expr = F.when(F.col("term") == t, F.lit(s)).otherwise(slack_expr)
+            kept = ubdf.where(
+                F.col("ub") + slack_expr >= F.lit(theta - self.WAND_MARGIN)
+            )
+            pb = self._score_terms(clause_terms, blocks_df=kept)
+            agg = pb.groupBy("doc_id").agg(F.sum("score").alias("score"))
+            if self.precision == "float32":
+                agg = agg.select("doc_id", F.col("score").cast("float").cast("double").alias("score"))
+            rows = agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+            return pd.DataFrame(
+                {
+                    "rank": range(1, len(rows) + 1),
+                    "doc_id": [r["doc_id"] for r in rows],
+                    "score": np.array([r["score"] for r in rows], dtype=np.float32)
+                    if self.precision == "float32"
+                    else [r["score"] for r in rows],
+                }
+            )
+        finally:
+            ubdf.unpersist()
+
+    def _as_or_terms(self, q: Query) -> Optional[List[Tuple[str, float]]]:
+        """Terms of a pure term/OR-of-terms scoring query, else None."""
+        q = rewrite(q, None)
+        if isinstance(q, TermQuery):
+            return [(q.term, q.boost)]
+        if isinstance(q, BooleanQuery) and q.min_should_match <= 1 and q.clauses:
+            out = []
+            for c in q.clauses:
+                if c.occur != Occur.SHOULD or not isinstance(c.query, TermQuery):
+                    return None
+                out.append((c.query.term, c.query.boost * q.boost))
+            return out
+        return None
+
     # -- public API -----------------------------------------------------------
 
-    def search(self, q: Query, k: int = 10, after: Optional[Tuple[float, int]] = None) -> pd.DataFrame:
+    def search(self, q: Query, k: int = 10, after: Optional[Tuple[float, int]] = None,
+               prune: bool = False) -> pd.DataFrame:
         """Top-k: score desc, docID asc (HitQueue.java:76-81). `after`:
         (score, doc_id) cursor for searchAfter paging
-        (IndexSearcher.java:419)."""
+        (IndexSearcher.java:419). `prune=True`: block-max WAND pruning
+        for term / OR-of-terms queries (rank-identical; falls back to
+        exhaustive for other shapes or when paging)."""
         from pyspark.sql import functions as F
+
+        if prune and after is None:
+            terms = self._as_or_terms(q)
+            if terms is not None:
+                return self._search_pruned_or(terms, k)
 
         q = rewrite(q, dictionary_terms=None)
         q = self._expand_multiterm(q)

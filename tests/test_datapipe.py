@@ -1,0 +1,100 @@
+"""Training-data pipeline operators: properties the DuckDB gate can't
+check — MinHash-LSH recall vs exact Jaccard, hyperplane-LSH recall vs
+brute force, multimodal decode determinism and batch shape.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_minhash_lsh_finds_exact_near_dups(spark, docs):
+    """Every pair with TRUE jaccard >= 0.9 must be surfaced by the
+    32-hash/8-band LSH (banding theory: P(candidate) ~ 1-(1-s^4)^8 >
+    0.9999 at s=0.9), and est_jaccard must be within 0.35 of truth."""
+    from lucene_solr_spark.datapipe import dedup
+
+    exact = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    cand = {
+        (r["a"], r["b"]): r["est_jaccard"]
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    missed = set(exact) - set(cand)
+    assert not missed, f"LSH missed true near-dups: {missed}"
+    for pair, jac in exact.items():
+        assert abs(cand[pair] - jac) < 0.35
+
+
+def test_simhash_band_join_equals_exhaustive(spark, docs):
+    """The pigeonhole band join must equal the exhaustive pairwise
+    hamming check (no false negatives at hamming <= 3)."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.datapipe import dedup
+
+    fps = dedup.simhash_fingerprints(docs).collect()
+    by_id = {r["doc_id"]: r["simhash"] for r in fps}
+    exact = set()
+    ids = sorted(by_id)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin(by_id[a] ^ by_id[b]).count("1") <= 3:
+                exact.add((a, b))
+    got = {
+        (r["a"], r["b"]) for r in dedup.simhash_near_pairs(docs, max_hamming=3).collect()
+    }
+    assert got == exact
+
+
+def test_lsh_bucket_topk_recall(spark, embeddings):
+    """Multi-probe hyperplane LSH top-10 must recover >= 5 of the true
+    brute-force top-10 with 4 planes on 500 64-d vectors (probe set =
+    exact bucket + 4 one-bit flips = 5/16 of the space; plane count
+    scales up with corpus size in production)."""
+    from lucene_solr_spark.datapipe import similarity
+
+    true = [r["vec_id"] for r in similarity.brute_force_topk(embeddings, 0, k=10).collect()]
+    approx = [r["vec_id"] for r in similarity.lsh_bucket_topk(embeddings, 0, k=10, n_planes=4).collect()]
+    assert len(set(true) & set(approx)) >= 5
+
+
+def test_mm_features_deterministic_and_shaped(spark, docs):
+    from lucene_solr_spark.datapipe import multimodal
+
+    a = multimodal.extract_features(docs).orderBy("doc_id").collect()
+    b = multimodal.extract_features(docs).orderBy("doc_id").collect()
+    assert len(a) == docs.count()
+    assert all(len(r["features"]) == multimodal.FEATURE_DIM for r in a)
+    assert [r["features"] for r in a] == [r["features"] for r in b]
+
+
+def test_mm_real_decode_is_stubbed(spark, docs):
+    from lucene_solr_spark.datapipe import multimodal
+
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_features(docs, fake_decode=False)
+
+
+def test_frame_sample_fanout(spark, docs):
+    from lucene_solr_spark.datapipe import multimodal
+
+    n = docs.count()
+    out = multimodal.frame_sample(docs, n_frames=4)
+    assert out.count() == 4 * n
+    one = out.where("doc_id = 0").orderBy("frame_idx").collect()
+    assert [r["frame_idx"] for r in one] == [0, 1, 2, 3]

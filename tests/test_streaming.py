@@ -1,0 +1,137 @@
+"""Streaming surface: incremental index equivalence + windowed aggs.
+
+Mirrors the reference's topic-stream semantics test: indexing a corpus
+through N streamed micro-batches must answer queries identically to one
+batch build (TopicStream checkpoint/incremental contract +
+SegmentInfos commit points).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def stream_corpus(tmp_path_factory, tiny_corpus_pdf):
+    """Corpus split into 3 parquet files dropped into a source dir."""
+    d = tmp_path_factory.mktemp("stream_src")
+    n = len(tiny_corpus_pdf)
+    cut1, cut2 = n // 3, 2 * n // 3
+    parts = [
+        tiny_corpus_pdf.iloc[:cut1],
+        tiny_corpus_pdf.iloc[cut1:cut2],
+        tiny_corpus_pdf.iloc[cut2:],
+    ]
+    for i, p in enumerate(parts):
+        p.to_parquet(d / f"part{i}.parquet", index=False)
+    return str(d)
+
+
+def test_incremental_index_matches_batch(spark, stream_corpus, tiny_corpus_pdf,
+                                         tmp_path_factory):
+    from lucene_solr_spark.indexing.builder import build_index
+    from lucene_solr_spark.queryast import TermQuery
+    from lucene_solr_spark.search.executor import IndexReader, Searcher
+    from lucene_solr_spark.streaming import IncrementalIndexer
+
+    base = tmp_path_factory.mktemp("stream_idx")
+    inc_dir = str(base / "incremental")
+    batch_dir = str(base / "batch")
+    ckpt = str(base / "ckpt")
+
+    q = IncrementalIndexer(spark, inc_dir).start(
+        stream_corpus, ckpt, available_now=True
+    )
+    q.awaitTermination(300)
+
+    sdf = spark.createDataFrame(tiny_corpus_pdf)
+    build_index(spark, batch_dir, [("all", sdf)])
+
+    r_inc = Searcher(IndexReader(spark, inc_dir))
+    r_bat = Searcher(IndexReader(spark, batch_dir))
+    assert r_inc.reader.doc_count == r_bat.reader.doc_count == len(tiny_corpus_pdf)
+    assert r_inc.reader.sum_dl == r_bat.reader.sum_dl
+
+    for term in ["import", "ident007", "class"]:
+        a = r_inc.search(TermQuery(term=term), k=10)
+        b = r_bat.search(TermQuery(term=term), k=10)
+        # docIDs may differ between the two (batch split points change
+        # assignment bases) — but both assign canonical (repo,path)
+        # order per batch; with 3 ordered batches over the ordered
+        # corpus, global ids coincide
+        assert list(a["doc_id"]) == list(b["doc_id"])
+        assert list(a["score"]) == list(b["score"])
+
+
+def test_incremental_restart_resumes(spark, stream_corpus, tmp_path_factory):
+    """Second availableNow run over the same checkpoint indexes nothing
+    new (offsets persisted) — the topic checkpoint contract."""
+    from lucene_solr_spark.indexing.manifest import ManifestStore
+    from lucene_solr_spark.streaming import IncrementalIndexer
+
+    base = tmp_path_factory.mktemp("stream_idx2")
+    inc_dir = str(base / "idx")
+    ckpt = str(base / "ckpt")
+
+    idxr = IncrementalIndexer(spark, inc_dir)
+    q = idxr.start(stream_corpus, ckpt, available_now=True)
+    q.awaitTermination(300)
+    n_seg_1 = len(ManifestStore(inc_dir).load().segments)
+
+    q = idxr.start(stream_corpus, ckpt, available_now=True)
+    q.awaitTermination(300)
+    n_seg_2 = len(ManifestStore(inc_dir).load().segments)
+    assert n_seg_1 == n_seg_2
+
+
+def test_windowed_event_counts_batch_oracle(spark):
+    """The streaming windowed agg plan, run on a batch frame, matches a
+    plain groupBy oracle (and is the DuckDB-checked shape in
+    entry_queries.timeseries_events)."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.streaming import windowed_event_counts
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = windowed_event_counts(events).orderBy("window_start", "event_type").collect()
+    want = (
+        events.groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("window_start", "event_type")
+        .collect()
+    )
+    assert [(r["window_start"], r["event_type"], r["cnt"]) for r in got] == [
+        (r["window_start"], r["event_type"], r["cnt"]) for r in want
+    ]
+
+
+def test_windowed_event_counts_streaming(spark, tmp_path_factory):
+    """Same agg as a real stream (availableNow over a file source) —
+    results equal the batch run."""
+    base = tmp_path_factory.mktemp("stream_ev")
+    src = str(base / "src")
+    os.makedirs(src)
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+
+    from lucene_solr_spark.streaming import windowed_event_counts
+
+    sdf = (
+        spark.readStream.schema(events.schema).parquet(src)
+    )
+    out = windowed_event_counts(sdf)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(base / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.table("win_counts").orderBy("window_start", "event_type").collect()
+    want = windowed_event_counts(events).orderBy("window_start", "event_type").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]

@@ -1,0 +1,68 @@
+"""Block-max WAND pruning: shadow-verification against exhaustive
+scoring (SURVEY §7 risk 4 — WAND comes from the published algorithm,
+not the 7.7 reference, so every pruned path is checked rank-identical).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from lucene_solr_spark.queryast import BooleanClause, BooleanQuery, Occur, TermQuery
+
+
+def _assert_same(a: pd.DataFrame, b: pd.DataFrame, qname: str):
+    assert list(a["doc_id"]) == list(b["doc_id"]), f"{qname}: doc order differs"
+    assert list(a["score"]) == list(b["score"]), f"{qname}: scores differ"
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, tiny_index):
+    from lucene_solr_spark.search.executor import IndexReader, Searcher
+
+    return Searcher(IndexReader(spark, tiny_index))
+
+
+TERMS = ["import", "class", "ident007", "ident042", "the", "def"]
+
+
+@pytest.mark.parametrize("term", TERMS)
+@pytest.mark.parametrize("k", [1, 10])
+def test_single_term_pruned_rank_identical(searcher, term, k):
+    q = TermQuery(term=term)
+    exhaustive = searcher.search(q, k=k)
+    pruned = searcher.search(q, k=k, prune=True)
+    _assert_same(pruned, exhaustive, f"term:{term}/k={k}")
+
+
+@pytest.mark.parametrize("terms", [
+    ("import", "ident007"),
+    ("class", "def", "ident042"),
+    ("import", "the", "ident001", "ident099"),
+])
+def test_or_pruned_rank_identical(searcher, terms):
+    q = BooleanQuery(clauses=tuple(
+        BooleanClause(Occur.SHOULD, TermQuery(term=t)) for t in terms
+    ))
+    exhaustive = searcher.search(q, k=10)
+    pruned = searcher.search(q, k=10, prune=True)
+    _assert_same(pruned, exhaustive, f"or:{terms}")
+
+
+def test_missing_term_pruned(searcher):
+    q = TermQuery(term="zzz_not_in_corpus")
+    pruned = searcher.search(q, k=10, prune=True)
+    assert len(pruned) == 0
+
+
+def test_prune_falls_back_for_must(searcher):
+    """Non-OR shapes fall back to the exhaustive path (same result)."""
+    q = BooleanQuery(clauses=(
+        BooleanClause(Occur.MUST, TermQuery(term="import")),
+        BooleanClause(Occur.MUST, TermQuery(term="class")),
+    ))
+    _assert_same(
+        searcher.search(q, k=10, prune=True),
+        searcher.search(q, k=10),
+        "must-fallback",
+    )
