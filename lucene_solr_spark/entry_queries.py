@@ -1047,3 +1047,74 @@ def mm_frame_sample(spark, sf_dir):
     """Frame-sampling plumbing: 1 row -> n_frames rows via mapInPandas
     (rows-only; datapipe/multimodal.py)."""
     return _mm.frame_sample(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# paging, approximate aggs, index-stat function queries
+# ---------------------------------------------------------------------------
+
+@register("ft_search_after", _ft_sql("""
+SELECT doc_id, score FROM (
+  SELECT doc_id, round(score, 6) AS score,
+         row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC) AS rn
+  FROM scored WHERE term = 'spark'
+) WHERE rn > 3 AND rn <= 13
+"""))
+def ft_search_after(spark, sf_dir):
+    """searchAfter paging (IndexSearcher.java:419): page 2 of the term
+    query = strictly after the rank-3 (score, doc_id) cursor."""
+    idx = ft(spark, sf_dir)
+    head = idx.term_query("spark", k=3).collect()
+    s, d = float(head[-1]["score"]), int(head[-1]["doc_id"])
+    return idx.search_after("spark", s, d, k=10)
+
+
+@register("facet_hll_approx", None)
+def facet_hll_approx(spark, sf_dir):
+    """HLLAgg facet (search/facet/HLLAgg.java) -> approx_count_distinct
+    (HyperLogLog++ in Spark). Approximate by design: rows-only check;
+    the exact variant is oracle-checked in facet_stats.uniq_cust."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_uniq_cust")
+    )
+
+
+@register("func_index_stats", _ft_sql("""
+SELECT term,
+       CAST(df AS BIGINT) AS docfreq,
+       CAST((SELECT CAST(sum(tf) AS BIGINT) FROM post p WHERE p.term = dfs.term) AS BIGINT) AS totaltermfreq,
+       round(ln(1 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5)), 6) AS idf,
+       CAST((SELECT n FROM stats) AS BIGINT) AS numdocs
+FROM dfs WHERE term IN ('spark', 'vector', 'dup')
+"""))
+def func_index_stats(spark, sf_dir):
+    """Index-stat function queries (ValueSourceParser docfreq/idf/
+    totaltermfreq/numdocs — SURVEY §2.10): joins against the stats
+    relations instead of scalar per-row calls."""
+    import math
+
+    idx = ft(spark, sf_dir)
+    terms = ["spark", "vector", "dup"]
+    st = idx.stats
+    post = idx.post
+    g = (
+        post.where(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("docfreq"), F.sum("tf").alias("totaltermfreq"))
+    )
+    idf_expr = F.lit(0.0)
+    # idf from the SAME df the aggregation computes, folded per term via
+    # driver-side stats (weight-creation analog)
+    dfs = {r["term"]: int(r["docfreq"]) for r in g.collect()}
+    for t in terms:
+        if t in dfs:
+            idf_expr = F.when(
+                F.col("term") == t,
+                F.lit(round(math.log(1 + (st.doc_count - dfs[t] + 0.5) / (dfs[t] + 0.5)), 6)),
+            ).otherwise(idf_expr)
+    return g.select(
+        "term", "docfreq", "totaltermfreq",
+        idf_expr.alias("idf"),
+        F.lit(st.doc_count).cast("long").alias("numdocs"),
+    )

@@ -27,13 +27,14 @@ Two scoring precisions:
              the SQL-checked query surface (bit-reproducible vs DuckDB).
 
 Pruning (block metadata = the skip-list/WAND analog, SURVEY §4):
-  - conjunctions: chunk-granular block intersection before decode —
-    blocks of a MUST term whose doc-range chunk contains no block of
-    every other MUST term are skipped (leapfrog/skip-list analog).
-  - single-term top-k: block-max pruning — blocks whose upper-bound
-    score can't reach the running threshold are never decoded
-    (rank-safe; Ding & Suel 2011 block-max bounds).
-All pruned paths are shadow-verified against exhaustive scoring in tests.
+  term / OR-of-terms top-k takes a batch block-max WAND path
+  (search(..., prune=True), Broder et al. 2003; Ding & Suel 2011):
+  per-block upper bounds from (max_tf, min_norm), a phase-A threshold
+  from each term's best blocks, then phase-B decodes only blocks with
+  UB + sum(other terms' max UB) >= threshold. Docs whose blocks were
+  pruned can surface only with partial sums provably below the true
+  k-th score, so the emitted top-k is exactly the exhaustive one —
+  shadow-verified in tests/test_wand.py.
 """
 
 from __future__ import annotations

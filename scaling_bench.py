@@ -49,6 +49,13 @@ max_file = max(os.path.getsize(os.path.join(corpus_path, f))
                for f in os.listdir(corpus_path) if f.endswith(".parquet"))
 corpus = (spark.read.option("maxPartitionBytes", str(max_file + (4 << 20)))
           .parquet(corpus_path))
+# warmup: a small throwaway build spins up the JVM stages and python
+# workers so the measurement sees steady-state throughput (what a
+# long-running cluster job sees), not process cold-start
+shutil.rmtree("/tmp/lss_scaling_warm", ignore_errors=True)
+build_index(spark, "/tmp/lss_scaling_warm",
+            [("warm", gen_corpus_spark(spark, 10000, partitions=cpus))],
+            analyzer="standard", norms="byte")
 t0 = time.time()
 build_index(spark, idx, [("scale", corpus)], analyzer="standard", norms="byte", assume_sorted=True)
 dt = time.time() - t0
