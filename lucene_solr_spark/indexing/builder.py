@@ -42,6 +42,7 @@ import pandas as pd
 
 from ..codec import split_blocks
 from .docids import assign_doc_ids
+from . import manifest as manifest_mod
 from .manifest import Manifest, ManifestStore, SegmentInfo
 
 POSTINGS_SCHEMA = (
@@ -245,7 +246,6 @@ def build_segment(
     (used by the SQL-oracle-checked query surface).
     """
     from pyspark.sql import functions as F
-    from pyspark.storagelevel import StorageLevel
 
     parts = num_partitions or spark.sparkContext.defaultParallelism
     t0 = time.time()
@@ -259,35 +259,26 @@ def build_segment(
 
     inverted = with_ids.mapInPandas(
         _make_invert_fn(analyzer, norms, positions), schema=INVERT_SCHEMA
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
+    # ONE pass, ONE write: the chamber output lands partitioned by kind
+    # (blk/doc) — no persist, no second materialization of the corpus
     os.makedirs(seg_dir, exist_ok=True)
-    doc_meta = inverted.where(F.col("kind") == "doc").select(
-        "doc_id", "repo", "path", "commit", "lang", "length", "norm", "sha256"
-    )
+    inv_path = os.path.join(seg_dir, "inverted.parquet")
     tp = time.time()
-    doc_meta.write.mode("overwrite").parquet(os.path.join(seg_dir, "doc_meta.parquet"))
-    phases["invert_docmeta"] = round(time.time() - tp, 2)
-
-    packed = inverted.where(F.col("kind") == "blk").select(
-        "term", "n", "min_doc", "max_doc", "max_tf", "sum_tf", "min_norm", "blob"
-    )
-    postings_path = os.path.join(seg_dir, "postings.parquet")
-    tp = time.time()
-    packed.write.mode("overwrite").parquet(postings_path)
-    phases["postings_write"] = round(time.time() - tp, 2)
-    inverted.unpersist()
+    inverted.write.mode("overwrite").partitionBy("kind").parquet(inv_path)
+    phases["invert_write"] = round(time.time() - tp, 2)
 
     # two-level term stats: per-block metadata -> per-term (reads only
     # the small metadata columns back from the written postings)
-    blocks = spark.read.parquet(postings_path)
+    blocks = spark.read.parquet(manifest_mod.postings_path(seg_dir))
     term_stats = blocks.groupBy("term").agg(
         F.sum("n").alias("df"), F.sum("sum_tf").alias("ttf")
     )
     term_stats.write.mode("overwrite").parquet(os.path.join(seg_dir, "term_stats.parquet"))
     phases["stats"] = round(time.time() - tp, 2)
 
-    meta = spark.read.parquet(os.path.join(seg_dir, "doc_meta.parquet"))
+    meta = spark.read.parquet(manifest_mod.doc_meta_path(seg_dir))
     counters_row = meta.agg(
         F.count(F.lit(1)).alias("doc_count"), F.sum("length").alias("sum_dl")
     ).collect()[0]

@@ -5,7 +5,9 @@ The Spark analog of Lucene's segments_N generation files
 per-partition lineage / counters the north rule requires for resume.
 
 Layout under <index_dir>/:
-  segments/<seg_name>/{postings.parquet, doc_meta.parquet, term_stats.parquet}
+  segments/<seg_name>/{inverted.parquet/kind={blk,doc}, term_stats.parquet}
+  (merged segments use the legacy split layout postings.parquet +
+  doc_meta.parquet; postings_path/doc_meta_path resolve either)
   manifest/segments_<N>.json    immutable generation files
   manifest/current              text file holding the live generation N
 
@@ -123,3 +125,15 @@ class ManifestStore:
 
     def segment_dir(self, name: str) -> str:
         return os.path.join(self.index_dir, "segments", name)
+
+
+def postings_path(seg_dir: str) -> str:
+    """Postings blocks location — single-write layout (kind=blk) or the
+    legacy/merge layout (postings.parquet)."""
+    p = os.path.join(seg_dir, "inverted.parquet", "kind=blk")
+    return p if os.path.isdir(p) else os.path.join(seg_dir, "postings.parquet")
+
+
+def doc_meta_path(seg_dir: str) -> str:
+    p = os.path.join(seg_dir, "inverted.parquet", "kind=doc")
+    return p if os.path.isdir(p) else os.path.join(seg_dir, "doc_meta.parquet")

@@ -29,7 +29,7 @@ import pandas as pd
 
 from ..codec import decode_block_positions, split_blocks
 from .builder import POSTINGS_SCHEMA, _pack_partition
-from .manifest import Manifest, ManifestStore, SegmentInfo
+from .manifest import Manifest, ManifestStore, SegmentInfo, doc_meta_path, postings_path
 
 # TieredMergePolicy.java:96-101 defaults
 MAX_MERGE_AT_ONCE = 10
@@ -121,8 +121,15 @@ def run_merge(spark, store: ManifestStore, manifest: Manifest,
     out_dir = store.segment_dir(name)
     in_dirs = [store.segment_dir(s.name) for s in inputs]
 
-    blocks = spark.read.parquet(*[f"{d}/postings.parquet" for d in in_dirs])
+    blocks = spark.read.parquet(*[postings_path(d) for d in in_dirs])
     has_positions = _segment_has_positions(spark, in_dirs[0])
+    from .deletes import deleted_docs_df, delete_generations
+
+    deletes = (
+        deleted_docs_df(spark, store.index_dir)
+        if delete_generations(store.index_dir)
+        else None
+    )
 
     def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -153,6 +160,10 @@ def run_merge(spark, store: ManifestStore, manifest: Manifest,
     if has_positions:
         schema += ", positions array<int>"
     postings = blocks.mapInPandas(unpack, schema=schema)
+    if deletes is not None:
+        # physical purge: tombstoned docs drop out of the rewrite
+        # (SegmentMerger skips liveDocs=false rows)
+        postings = postings.join(deletes, "doc_id", "left_anti")
 
     # same chunk-salted shuffle + sorted pack as the builder
     shuffled = (
@@ -172,9 +183,15 @@ def run_merge(spark, store: ManifestStore, manifest: Manifest,
         F.sum("n").alias("df"), F.sum("sum_tf").alias("ttf")
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "term_stats.parquet"))
 
-    spark.read.parquet(*[f"{d}/doc_meta.parquet" for d in in_dirs]).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(out_dir, "doc_meta.parquet"))
+    meta = spark.read.parquet(*[doc_meta_path(d) for d in in_dirs])
+    if deletes is not None:
+        meta = meta.join(deletes, "doc_id", "left_anti")
+    meta.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_meta.parquet"))
+    live_row = (
+        spark.read.parquet(os.path.join(out_dir, "doc_meta.parquet"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("length").alias("dl"))
+        .collect()[0]
+    )
 
     size_bytes = sum(
         os.path.getsize(os.path.join(dp, fn))
@@ -184,8 +201,8 @@ def run_merge(spark, store: ManifestStore, manifest: Manifest,
     merged_info = SegmentInfo(
         name=name,
         doc_base=min(s.doc_base for s in inputs),
-        doc_count=sum(s.doc_count for s in inputs),
-        sum_dl=sum(s.sum_dl for s in inputs),
+        doc_count=int(live_row["n"]),
+        sum_dl=int(live_row["dl"] or 0),
         size_bytes=size_bytes,
         source_batch=f"merge:{'+'.join(s.source_batch for s in inputs)}",
     )
@@ -263,7 +280,7 @@ def _repack_aggregated(batches: Iterator[pd.DataFrame], with_positions: bool) ->
 
 
 def _segment_has_positions(spark, seg_dir: str) -> bool:
-    row = spark.read.parquet(f"{seg_dir}/postings.parquet").select("blob").head(1)
+    row = spark.read.parquet(postings_path(seg_dir)).select("blob").head(1)
     if not row:
         return False
     return bytes(row[0]["blob"])[8] == 1
@@ -272,21 +289,32 @@ def _segment_has_positions(spark, seg_dir: str) -> bool:
 def maybe_merge(spark, index_dir: str, max_rounds: int = 100) -> Manifest:
     """Driver-side merge loop: apply the tiered policy until no merge is
     selected (ConcurrentMergeScheduler analog, run synchronously)."""
+    from .deletes import compact_tombstones, delete_generations
+
     store = ManifestStore(index_dir)
     manifest = store.load()
+    merged_any = False
     for _ in range(max_rounds):
         cand = find_merges(manifest.segments)
         if not cand:
             break
         manifest = run_merge(spark, store, manifest, cand)
+        merged_any = True
+    if merged_any and delete_generations(index_dir):
+        compact_tombstones(spark, index_dir)
     return manifest
 
 
 def force_merge(spark, index_dir: str, max_segments: int = 1) -> Manifest:
-    """forceMerge analog: merge everything down to max_segments."""
+    """forceMerge analog: merge everything down to max_segments
+    (purges all reachable tombstones)."""
+    from .deletes import compact_tombstones, delete_generations
+
     store = ManifestStore(index_dir)
     manifest = store.load()
     while len(manifest.segments) > max_segments:
         group = manifest.segments[: max(2, min(MAX_MERGE_AT_ONCE, len(manifest.segments)))]
         manifest = run_merge(spark, store, manifest, group)
+    if delete_generations(index_dir):
+        compact_tombstones(spark, index_dir)
     return manifest

@@ -48,7 +48,8 @@ import pandas as pd
 from .. import bm25
 from ..codec import decode_block, decode_block_positions
 from ..smallfloat import LENGTH_TABLE
-from ..indexing.manifest import ManifestStore
+from ..indexing.deletes import delete_generations, deleted_docs_df
+from ..indexing.manifest import ManifestStore, doc_meta_path, postings_path
 from ..queryast import (
     BooleanQuery,
     BooleanClause,
@@ -83,9 +84,20 @@ class IndexReader:
         self.doc_count = self.manifest.total_docs
         self.sum_dl = self.manifest.sum_dl
         segs = [self.store.segment_dir(s.name) for s in self.manifest.segments]
-        self.blocks = spark.read.parquet(*[f"{d}/postings.parquet" for d in segs])
+        self.blocks = spark.read.parquet(*[postings_path(d) for d in segs])
         self.stats = spark.read.parquet(*[f"{d}/term_stats.parquet" for d in segs])
-        self.doc_meta = spark.read.parquet(*[f"{d}/doc_meta.parquet" for d in segs])
+        self.doc_meta = spark.read.parquet(*[doc_meta_path(d) for d in segs])
+        # liveDocs: tombstones filter matches at collect time; stats
+        # intentionally still count deleted docs (Lucene semantics —
+        # "docFreq ignores deletions") until a merge purges them
+        self.has_deletes = bool(delete_generations(index_dir))
+        self.deletes = deleted_docs_df(spark, index_dir) if self.has_deletes else None
+
+    def live(self, df):
+        """Apply the liveDocs filter (anti-join on tombstones)."""
+        if not self.has_deletes:
+            return df
+        return df.join(self.deletes, "doc_id", "left_anti")
 
     def term_stats(self, terms: List[str]) -> Dict[str, Tuple[int, int]]:
         """Global (df, ttf) per term — summed across segments, collected
@@ -621,7 +633,7 @@ class Searcher:
                 .drop("rn")
             )
             clause_terms = [(i, t, b) for i, (t, b) in enumerate(terms_with_boost)]
-            pa = self._score_terms(clause_terms, blocks_df=probe)
+            pa = self.reader.live(self._score_terms(clause_terms, blocks_df=probe))
             pa_top = (
                 pa.groupBy("doc_id").agg(F.sum("score").alias("score"))
                 .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -646,7 +658,7 @@ class Searcher:
             kept = ubdf.where(
                 F.col("ub") + slack_expr >= F.lit(theta - self.WAND_MARGIN)
             )
-            pb = self._score_terms(clause_terms, blocks_df=kept)
+            pb = self.reader.live(self._score_terms(clause_terms, blocks_df=kept))
             agg = pb.groupBy("doc_id").agg(F.sum("score").alias("score"))
             if self.precision == "float32":
                 agg = agg.select("doc_id", F.col("score").cast("float").cast("double").alias("score"))
@@ -696,7 +708,7 @@ class Searcher:
         q = rewrite(q, dictionary_terms=None)
         q = self._expand_multiterm(q)
         q = rewrite(q, dictionary_terms=None)
-        scored = self._eval(q, 1.0)
+        scored = self.reader.live(self._eval(q, 1.0))
         if after is not None:
             s, d = after
             scored = scored.where(
@@ -718,7 +730,7 @@ class Searcher:
 
     def count(self, q: Query) -> int:
         q = self._expand_multiterm(rewrite(q, None))
-        return self._eval(rewrite(q, None), 1.0).count()
+        return self.reader.live(self._eval(rewrite(q, None), 1.0)).count()
 
     def _expand_multiterm(self, q: Query) -> Query:
         """Replace MultiTermQuery nodes via Spark-side dictionary scans

@@ -81,7 +81,7 @@ def run_level(repo: str, cpus: int, docs: int) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000")))
-    ap.add_argument("--n", type=int, default=8, help="small parallelism level (big = 4n)")
+    ap.add_argument("--n", type=int, default=4, help="small parallelism level (big = 4n)")
     args = ap.parse_args()
     repo = os.path.dirname(os.path.abspath(__file__))
 
