@@ -214,9 +214,9 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8,
     est_jaccard = fraction of agreeing minhashes. Discovery is
     shuffle-bounded (explode bands -> hash join on band key)."""
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, num_hashes, text_col, id_col, k)
+    sigs = minhash_signatures(df, num_hashes, text_col, id_col, k).persist()
     banded = sigs.select(
-        "doc_id", "sig",
+        "doc_id",
         F.explode(
             F.array(*[
                 F.struct(
@@ -226,18 +226,23 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8,
                 for j in range(bands)
             ])
         ).alias("bk"),
-    ).select("doc_id", "sig", "bk.band", "bk.key")
-    a = banded.select(F.col("doc_id").alias("a"), F.col("sig").alias("siga"), "band", "key")
-    b = banded.select(F.col("doc_id").alias("b"), F.col("sig").alias("sigb"), "band", "key")
+    ).select("doc_id", "bk.band", "bk.key")
+    a = banded.select(F.col("doc_id").alias("a"), "band", "key")
+    b = banded.select(F.col("doc_id").alias("b"), "band", "key")
+    # dedupe BARE id pairs first (cheap shuffle), then join the
+    # signatures back — signature arrays never ride the pair shuffle
     cand = (
         a.join(b, ["band", "key"])
         .where(F.col("a") < F.col("b"))
-        .select("a", "b", "siga", "sigb")
+        .select("a", "b")
         .distinct()
     )
+    sa = sigs.select(F.col("doc_id").alias("a"), F.col("sig").alias("siga"))
+    sb = sigs.select(F.col("doc_id").alias("b"), F.col("sig").alias("sigb"))
+    withsigs = cand.join(sa, "a").join(sb, "b")
     agree = F.size(F.filter(F.zip_with("siga", "sigb", lambda x, y: x == y), lambda v: v))
     est = agree.cast("double") / F.lit(float(num_hashes))
     return (
-        cand.select("a", "b", F.round(est, 6).alias("est_jaccard"))
+        withsigs.select("a", "b", F.round(est, 6).alias("est_jaccard"))
         .where(F.col("est_jaccard") >= threshold)
     )
