@@ -1118,3 +1118,113 @@ def func_index_stats(spark, sf_dir):
         idf_expr.alias("idf"),
         F.lit(st.doc_count).cast("long").alias("numdocs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# similarity plug-points, sloppy phrase, suggester, highlighter,
+# GROUPING SETS, set algebra
+# ---------------------------------------------------------------------------
+
+@register("ft_classic_tfidf", _ft_sql("""
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT p.doc_id,
+         sqrt(p.tf) * (1 + ln((SELECT n FROM stats) * 1.0 / (f.df + 1)))
+           * (1 + ln((SELECT n FROM stats) * 1.0 / (f.df + 1)))
+           / sqrt(l.dl) AS score
+  FROM post p JOIN dfs f USING (term) JOIN dl l USING (doc_id)
+  WHERE p.term = 'spark'
+)
+ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10
+"""))
+def ft_classic_tfidf(spark, sf_dir):
+    """ClassicSimilarity TF-IDF scoring: sqrt(tf)*idf^2/sqrt(dl)
+    (TFIDFSimilarity.java) — the pluggable-Similarity point."""
+    return ft(spark, sf_dir).classic_term_query("spark", k=10)
+
+
+@register("ft_sloppy_phrase", _ft_sql("""
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT f.doc_id,
+         ((SELECT ln(1 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5))
+             FROM dfs WHERE term = 'hash')
+          + (SELECT ln(1 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5))
+             FROM dfs WHERE term = 'join'))
+           * (f.tf * 2.2)
+           / (f.tf + 1.2 * (0.25 + 0.75 * l.dl / (SELECT avgdl FROM stats)))
+           AS score
+  FROM (
+    SELECT a.doc_id, sum(1.0 / (abs(b.pos - a.pos - 1) + 1.0)) AS tf
+    FROM postoks a JOIN postoks b
+      ON a.doc_id = b.doc_id AND abs(b.pos - a.pos - 1) <= 2
+    WHERE a.term = 'hash' AND b.term = 'join'
+    GROUP BY a.doc_id
+  ) f JOIN dl l USING (doc_id)
+)
+ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10
+""", positions=True))
+def ft_sloppy_phrase(spark, sf_dir):
+    """Sloppy phrase "hash join"~2: weight 1/(distance+1) per match
+    pair (SloppyPhraseMatcher, BM25Similarity.sloppyFreq:77-79)."""
+    return ft(spark, sf_dir).sloppy_phrase("hash", "join", slop=2, k=10)
+
+
+@register("ft_suggest_prefix", _ft_sql("""
+SELECT term, CAST(count(*) AS BIGINT) AS df FROM post
+WHERE term LIKE 's%' GROUP BY term
+ORDER BY df DESC, term ASC LIMIT 10
+"""))
+def ft_suggest_prefix(spark, sf_dir):
+    """Prefix suggester: top-10 dictionary completions by df
+    (AnalyzingSuggester.java:121 analog)."""
+    return ft(spark, sf_dir).suggest("s", n=10)
+
+
+@register("ft_highlight", _ft_sql("""
+SELECT doc_id, CAST(pos AS INT) AS pos,
+       substr(lower(text), CAST(greatest(pos - 30, 1) AS INT), 66) AS snippet
+FROM (
+  SELECT doc_id, text, strpos(lower(text), 'vector') AS pos FROM documents
+) WHERE pos > 0
+"""))
+def ft_highlight(spark, sf_dir):
+    """Highlighter-lite: snippet around the first occurrence
+    (UnifiedHighlighter.java:92 analog), JVM locate/substr."""
+    return ft(spark, sf_dir).highlight("vector", window=30)
+
+
+@register("facet_grouping_sets", """
+SELECT coalesce(l_returnflag, 'ALL') AS rf,
+       coalesce(l_linestatus, 'ALL') AS ls,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""")
+def facet_grouping_sets(spark, sf_dir):
+    """Drill-sideways facet counts (DrillSideways.java / GROUPING SETS
+    — SURVEY §2.8): cube over two dimensions."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("rf"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("ls"),
+            "cnt",
+        )
+    )
+
+
+@register("set_intersect_except", """
+(SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+ INTERSECT
+ SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+""")
+def set_intersect_except(spark, sf_dir):
+    """Doc-set algebra (MergeStream/IntersectStream/ComplementStream,
+    SURVEY §2.11): INTERSECT then EXCEPT over key sets."""
+    o = load(spark, sf_dir, "orders")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = o.where(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    big = o.where(F.col("o_totalprice") > 400000).select("o_custkey")
+    return urgent.intersect(low).exceptAll(big.distinct())

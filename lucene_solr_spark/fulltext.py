@@ -373,6 +373,63 @@ class FulltextIndex:
             .select("doc_id", "score")
         )
 
+    def classic_term_query(self, term: str, k: int = 10) -> DataFrame:
+        """TermQuery under ClassicSimilarity (TF-IDF) — the pluggable-
+        Similarity point (SimilarityBase.score(freq, norm), SURVEY
+        §2.6/§2.12): same postings, different scoring expression."""
+        st = self.stats
+        dfs = term_dfs(self.post, [term])
+        idf = 1.0 + math.log(st.doc_count / (dfs[term] + 1.0)) if st.doc_count else 0.0
+        sc = (
+            self.post.where(F.col("term") == term)
+            .join(self.dl, "doc_id")
+            .select("doc_id",
+                    classic_tfidf_expr(F.col("tf"), F.col("dl"), idf).alias("score"))
+        )
+        return _topk(sc, k)
+
+    def sloppy_phrase(self, t1: str, t2: str, slop: int = 2, k: int = 10) -> DataFrame:
+        """Two-term sloppy phrase (SloppyPhraseMatcher; weight
+        1/(distance+1), BM25Similarity.sloppyFreq:77-79): positions
+        join with |p2 - p1 - 1| <= slop, phrase freq = sum of
+        1/(dist+1), scored like a term with summed idf."""
+        st = self.stats
+        dfs = term_dfs(self.post, [t1, t2])
+        idf_sum = st.idf(dfs[t1]) + st.idf(dfs[t2])
+        a = self.toks.where(F.col("term") == t1).select("doc_id", F.col("pos").alias("p1"))
+        b = self.toks.where(F.col("term") == t2).select(
+            F.col("doc_id").alias("d2"), F.col("pos").alias("p2"))
+        dist = F.abs(F.col("p2") - F.col("p1") - 1)
+        pairs = a.join(b, (a["doc_id"] == b["d2"]) & (dist <= slop)).select(
+            "doc_id", (F.lit(1.0) / (dist.cast("double") + 1.0)).alias("w"))
+        freq = pairs.groupBy("doc_id").agg(F.sum("w").alias("tf"))
+        sc = freq.join(self.dl, "doc_id").select(
+            "doc_id", bm25_expr(F.col("tf"), F.col("dl"), idf_sum, st.avgdl).alias("score"))
+        return _topk(sc, k)
+
+    def suggest(self, prefix: str, n: int = 10) -> DataFrame:
+        """Prefix suggester (AnalyzingSuggester.java:121 analog): top-N
+        dictionary terms by document frequency."""
+        return (
+            self.post.where(F.col("term").startswith(prefix))
+            .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(n)
+        )
+
+    def highlight(self, term: str, window: int = 30) -> DataFrame:
+        """Highlighter-lite (UnifiedHighlighter.java:92 analog): a
+        snippet of +-window chars around the first occurrence, for
+        matching docs only. JVM locate/substring — map-only."""
+        low = F.lower(F.col(self.text_col))
+        pos = F.locate(term, low)  # 1-based, 0 = no match
+        start = F.greatest(pos - window, F.lit(1))
+        snippet = F.substring(low, start, F.lit(2 * window) + F.length(F.lit(term)))
+        return (
+            self.df.select(F.col(self.id_col).alias("doc_id"), pos.alias("pos"), snippet.alias("snippet"))
+            .where(F.col("pos") > 0)
+        )
+
     def term_facet(self, n: int = 20) -> DataFrame:
         """Field facet over the term dictionary: df + ttf per term,
         top-N by df (FacetFieldProcessorByHashDV analog: hash agg)."""
@@ -392,4 +449,14 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
         scored.select("doc_id", F.round(F.col("score"), 6).alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
+    )
+
+
+def classic_tfidf_expr(tf: Column, dl: Column, idf: float,
+                       boost: float = 1.0) -> Column:
+    """ClassicSimilarity (TFIDFSimilarity.java): sqrt(tf) * idf^2 *
+    (1/sqrt(dl)); idf = 1 + ln(docCount/(df+1))."""
+    return (
+        F.lit(boost) * F.sqrt(tf.cast("double")) * F.lit(idf * idf)
+        / F.sqrt(dl.cast("double"))
     )
