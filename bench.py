@@ -104,11 +104,23 @@ def main() -> None:
     }
     lat_ms = []
     for name, q in bm25_queries.items():
-        t0 = time.time()
-        searcher.search(q, k=10)
-        dt = time.time() - t0
+        reps = []
+        for _ in range(3):
+            t0 = time.time()
+            searcher.search(q, k=10)
+            reps.append(time.time() - t0)
+        dt = sorted(reps)[1]  # median of 3 (host speed fluctuates)
         timings[name] = round(dt, 3)
         lat_ms.append(dt * 1000)
+    # block-max WAND pruned path (rank-identical; see tests/test_wand.py)
+    for name, q in (("bm25_term_wand", bm25_queries["bm25_term"]),
+                    ("bm25_or_wand", bm25_queries["bm25_or"])):
+        reps = []
+        for _ in range(3):
+            t0 = time.time()
+            searcher.search(q, k=10, prune=True)
+            reps.append(time.time() - t0)
+        timings[name] = round(sorted(reps)[1], 3)
     lat_ms.sort()
     p50_ms = lat_ms[len(lat_ms) // 2]
 

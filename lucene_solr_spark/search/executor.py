@@ -241,7 +241,10 @@ class Searcher:
 
         src = blocks_df if blocks_df is not None else self.reader.blocks
         terms = list(by_term.keys())
-        filtered = src.where(F.col("term").isin(terms))
+        # project to (term, blob) BEFORE the Arrow stage: the union
+        # segment layout carries doc-meta columns the decoder never
+        # reads (column pruning reaches the parquet scan)
+        filtered = src.where(F.col("term").isin(terms)).select("term", "blob")
         return filtered.mapInPandas(
             decode_score, schema="clause_id int, doc_id long, score double"
         )
@@ -313,6 +316,7 @@ class Searcher:
 
         occ = (
             self.reader.blocks.where(F.col("term").isin(terms))
+            .select("term", "blob")
             .mapInPandas(decode_pos, "doc_id long, tidx int, norm int, pos long")
         )
         first = occ.where(F.col("tidx") == 0).select("doc_id", "norm", "pos")
@@ -439,6 +443,7 @@ class Searcher:
 
         per_doc = (
             self.reader.blocks.where(F.col("term").isin(list(q.terms)))
+            .select("term", "blob")
             .mapInPandas(decode_tf, "doc_id long, tf long, norm int")
             .groupBy("doc_id")
             .agg(F.sum("tf").alias("tf"), F.first("norm").alias("norm"))
@@ -573,11 +578,12 @@ class Searcher:
                     nv = 1.2 * (0.25 + 0.75 * float(LENGTH_TABLE[nb]) / w["avgdl"])
                 rows.append((term, nb, float(wv), nv))
         spark = self.reader.spark
+        POSTCOLS = ["term", "n", "min_doc", "max_doc", "max_tf", "sum_tf", "min_norm", "blob"]
         if self.reader.norms == "byte":
             dim = spark.createDataFrame(rows, "term string, nb int, wv double, nv double")
             blocks = self.reader.blocks.where(
                 F.col("term").isin([t for t, _ in terms_with_boost])
-            )
+            ).select(*POSTCOLS)
             joined = blocks.join(
                 F.broadcast(dim),
                 (blocks["term"] == dim["term"]) & (blocks["min_norm"] == dim["nb"]),
@@ -587,7 +593,7 @@ class Searcher:
         # exact-norm mode: nv from min_norm (a length) inline
         blocks = self.reader.blocks.where(
             F.col("term").isin([t for t, _ in terms_with_boost])
-        )
+        ).select(*POSTCOLS)
         parts = []
         for (term, boost), w in weights.items():
             if self.precision == "float32":
