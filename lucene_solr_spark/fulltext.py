@@ -186,23 +186,42 @@ class FulltextIndex:
 
     def scored_postings(self, terms: Sequence[str],
                         boosts: Optional[Dict[str, float]] = None) -> DataFrame:
-        """(doc_id, term, score): per-term BM25 over the query terms.
-        One scan of postings filtered to |terms| (the term-dictionary
-        seek analog — predicate pushes to the token stream)."""
+        """(doc_id, term, score): per-term BM25 over the query terms in
+        ONE corpus scan: dl rides along the explode (no dl join), tf is
+        the (doc, term) hash agg, df is a window count per term, and
+        idf = ln(1 + (N - df + 0.5)/(df + 0.5)) is computed JVM-side —
+        the same IEEE double ops the SQL oracle runs. Only the global
+        (N, avgdl) literals come from the driver (stats pass)."""
+        from pyspark.sql import Window
+
         st = self.stats
-        dfs = term_dfs(self.post, terms)
         boosts = boosts or {}
-        scored = (
-            self.post.where(F.col("term").isin(list(terms)))
-            .join(self.dl, "doc_id")
+        arr = token_array(F.col(self.text_col), self.stop)
+        base = (
+            self.df.select(
+                F.col(self.id_col).alias("doc_id"),
+                F.size(arr).alias("dl"),
+                F.explode(arr).alias("term"),
+            )
+            .where(F.col("term").isin(list(terms)))
         )
-        # one CASE WHEN over terms: constants per term folded as literals
-        expr: Column = F.lit(0.0)
-        for t in terms:
-            sc = bm25_expr(F.col("tf"), F.col("dl"), st.idf(dfs[t]), st.avgdl,
-                           boosts.get(t, 1.0))
-            expr = F.when(F.col("term") == t, sc).otherwise(expr)
-        return scored.select("doc_id", "term", expr.alias("score"))
+        post = base.groupBy("doc_id", "term").agg(
+            F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+        )
+        df_col = F.count(F.lit(1)).over(Window.partitionBy("term"))
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(float(st.doc_count)) - df_col + F.lit(0.5)) / (df_col + F.lit(0.5))
+        )
+        boost_col: Column = F.lit(1.0)
+        for t, b in boosts.items():
+            boost_col = F.when(F.col("term") == t, F.lit(float(b))).otherwise(boost_col)
+        tf_d = F.col("tf").cast("double")
+        denom = tf_d + F.lit(K1) * (
+            F.lit(1.0 - B) + F.lit(B) * F.col("dl").cast("double") / F.lit(st.avgdl)
+        )
+        score = (boost_col * idf) * (tf_d * F.lit(K1 + 1.0)) / denom
+        return post.select("doc_id", "term", score.alias("score"))
 
     # ------------------------------------------------------------------
     # query operators (each mirrors a SURVEY §2.4/2.5 reference operator)
