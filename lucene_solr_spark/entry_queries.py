@@ -1228,3 +1228,125 @@ def set_intersect_except(spark, sf_dir):
     low = o.where(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
     big = o.where(F.col("o_totalprice") > 400000).select("o_custkey")
     return urgent.intersect(low).exceptAll(big.distinct())
+
+
+# ---------------------------------------------------------------------------
+# SEGMENT-ENGINE path under the SQL gate: these build (once per sf_dir,
+# cached in /tmp) a real persisted segment index over `documents` with
+# the SQL-replicable simple_stop analyzer + exact norms, query it
+# through search/executor.py in float64, and compare against the same
+# BM25 SQL the live path uses. This puts the codec, manifest, chamber
+# build and executor — not just the Catalyst surface — under the
+# DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+import hashlib as _hl  # noqa: E402
+import os as _os  # noqa: E402
+
+
+def _segment_index(spark, sf_dir: str) -> str:
+    from .indexing.builder import build_index
+    from .indexing.manifest import ManifestStore
+
+    key = _hl.md5(sf_dir.encode()).hexdigest()[:10]
+    idx = f"/tmp/lss_gate_index_{key}"
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    m = ManifestStore(idx)
+    if m.load().total_docs != n:
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)
+        corpus = docs.select(
+            F.lit("docs").alias("repo"),
+            F.format_string("%09d", F.col("doc_id")).alias("path"),
+            F.lit("c0").alias("commit"),
+            F.col("lang"),
+            F.col("text").alias("content"),
+        )
+        # (repo, path) order == doc_id order => engine doc_id == source doc_id
+        build_index(spark, idx, [("gate", corpus)], analyzer="simple_stop",
+                    norms="exact")
+    return idx
+
+
+def _seg_searcher(spark, sf_dir):
+    from .search.executor import IndexReader, Searcher
+
+    return Searcher(IndexReader(spark, _segment_index(spark, sf_dir), norms="exact"),
+                    precision="float64")
+
+
+def _seg_topk(spark, pdf, k: int = 10):
+    """Order-insensitive gate semantics: full ranking -> round(score,6)
+    -> (score desc, doc_id asc) -> k, exactly like the SQL oracle."""
+    pdf = pdf.copy()
+    pdf["score"] = pdf["score"].round(6)
+    pdf = pdf.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
+    return spark.createDataFrame(
+        pdf[["doc_id", "score"]].astype({"doc_id": "int64", "score": "float64"}),
+        "doc_id long, score double",
+    )
+
+
+@register("seg_term_bm25", _ft_sql("""
+SELECT doc_id, round(score, 6) AS score
+FROM scored WHERE term = 'spark'
+ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10
+"""))
+def seg_term_bm25(spark, sf_dir):
+    """TermQuery through the persisted segment index (FOR-128 blocks,
+    manifest, executor) — float64 scoring, same math as the oracle."""
+    from .queryast import TermQuery
+
+    s = _seg_searcher(spark, sf_dir)
+    return _seg_topk(spark, s.search(TermQuery(term="spark"), k=10_000_000))
+
+
+@register("seg_bool_and_bm25", _ft_sql("""
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT doc_id, sum(score) AS score, count(*) AS nm
+  FROM scored WHERE term IN ('spark', 'vector') GROUP BY doc_id
+) WHERE nm = 2
+ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10
+"""))
+def seg_bool_and_bm25(spark, sf_dir):
+    """Boolean MUST through the segment executor (count-intersection
+    hash agg over decoded blocks)."""
+    from .queryast import BooleanClause, BooleanQuery, Occur, TermQuery
+
+    q = BooleanQuery(clauses=(
+        BooleanClause(Occur.MUST, TermQuery(term="spark")),
+        BooleanClause(Occur.MUST, TermQuery(term="vector")),
+    ))
+    s = _seg_searcher(spark, sf_dir)
+    return _seg_topk(spark, s.search(q, k=10_000_000))
+
+
+@register("seg_phrase_bm25", _ft_sql("""
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT f.doc_id,
+         ((SELECT ln(1 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5))
+             FROM dfs WHERE term = 'hash')
+          + (SELECT ln(1 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5))
+             FROM dfs WHERE term = 'join'))
+           * (f.tf * 2.2)
+           / (f.tf + 1.2 * (0.25 + 0.75 * l.dl / (SELECT avgdl FROM stats)))
+           AS score
+  FROM (
+    SELECT a.doc_id, count(*) AS tf
+    FROM postoks a JOIN postoks b
+      ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    WHERE a.term = 'hash' AND b.term = 'join'
+    GROUP BY a.doc_id
+  ) f JOIN dl l USING (doc_id)
+)
+ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10
+""", positions=True))
+def seg_phrase_bm25(spark, sf_dir):
+    """Exact phrase through the segment executor: FOR-encoded position
+    decode + JVM position join."""
+    from .queryast import PhraseQuery
+
+    s = _seg_searcher(spark, sf_dir)
+    return _seg_topk(spark, s.search(PhraseQuery(terms=("hash", "join")), k=10_000_000))

@@ -188,10 +188,14 @@ def _make_invert_fn(analyzer: str, norms: str, with_positions: bool,
                 if analyzer == "standard":
                     per_doc, length = invert_tokens(text)
                 else:
+                    # "simple" (no stop) / "simple_stop" (33-word stop
+                    # set): the SQL-replicable chain — lets the DuckDB
+                    # oracle verify the SEGMENT engine end to end
                     per_doc = {}
-                    for i, t in enumerate(simple_analyze(text)):
+                    toks = simple_analyze(text, stop=(analyzer == "simple_stop"))
+                    for i, t in enumerate(toks):
                         per_doc.setdefault(t, []).append(i)
-                    length = sum(len(v) for v in per_doc.values())
+                    length = len(toks)
                 nb = int_to_byte4(length) if norms == "byte" else length
                 d = int(doc_id)
                 for term, plist in per_doc.items():
