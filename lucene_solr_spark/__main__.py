@@ -1,0 +1,151 @@
+"""Command-line surface: the IndexWriter/IndexSearcher/solr-admin
+workflow as subcommands.
+
+  python -m lucene_solr_spark index  --corpus c.parquet --index ./idx [--sorted]
+  python -m lucene_solr_spark search --index ./idx --query 'import AND def' [-k 10] [--wand]
+  python -m lucene_solr_spark count  --index ./idx --query 'import'
+  python -m lucene_solr_spark merge  --index ./idx [--force 1]
+  python -m lucene_solr_spark delete --index ./idx --terms import,def
+  python -m lucene_solr_spark stats  --index ./idx
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _spark():
+    from .session import get_spark
+
+    s = get_spark("lss-cli")
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def _analyzer(text: str):
+    from .analysis import standard_analyze
+
+    return [t for t, _ in standard_analyze(text)]
+
+
+def cmd_index(args) -> dict:
+    from .indexing.builder import build_index
+
+    spark = _spark()
+    corpus = spark.read.parquet(args.corpus)
+    t0 = time.time()
+    m = build_index(spark, args.index, [(args.batch, corpus)],
+                    assume_sorted=args.sorted)
+    dt = time.time() - t0
+    return {"docs": m.total_docs, "segments": len(m.segments),
+            "build_s": round(dt, 2), "docs_per_sec": round(m.total_docs / dt, 1)}
+
+
+def cmd_search(args) -> dict:
+    from .queryast import parse_query
+    from .search.executor import IndexReader, Searcher
+
+    spark = _spark()
+    s = Searcher(IndexReader(spark, args.index))
+    q = parse_query(args.query, analyzer=_analyzer)
+    t0 = time.time()
+    hits = s.search(q, k=args.k, prune=args.wand)
+    return {
+        "query": args.query,
+        "ms": round((time.time() - t0) * 1000, 1),
+        "hits": [
+            {"rank": int(r.rank), "doc_id": int(r.doc_id), "score": float(r.score)}
+            for r in hits.itertuples(index=False)
+        ],
+    }
+
+
+def cmd_count(args) -> dict:
+    from .queryast import parse_query
+    from .search.executor import IndexReader, Searcher
+
+    s = Searcher(IndexReader(_spark(), args.index))
+    return {"query": args.query,
+            "count": s.count(parse_query(args.query, analyzer=_analyzer))}
+
+
+def cmd_merge(args) -> dict:
+    from .indexing.merge import force_merge, maybe_merge
+
+    spark = _spark()
+    if args.force:
+        m = force_merge(spark, args.index, max_segments=args.force)
+    else:
+        m = maybe_merge(spark, args.index)
+    return {"segments": len(m.segments), "docs": m.total_docs}
+
+
+def cmd_delete(args) -> dict:
+    from .indexing import deletes
+
+    spark = _spark()
+    n = deletes.delete_by_terms(spark, args.index, args.terms.split(","))
+    return {"deleted": n}
+
+
+def cmd_stats(args) -> dict:
+    from .indexing.manifest import ManifestStore
+
+    m = ManifestStore(args.index).load()
+    return {
+        "generation": m.generation,
+        "docs": m.total_docs,
+        "sum_dl": m.sum_dl,
+        "segments": [
+            {"name": s.name, "docs": s.doc_count, "bytes": s.size_bytes}
+            for s in m.segments
+        ],
+        "lineage_entries": len(m.lineage),
+    }
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="lucene_solr_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("index")
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--index", required=True)
+    p.add_argument("--batch", default=f"cli_{int(time.time())}")
+    p.add_argument("--sorted", action="store_true")
+
+    p = sub.add_parser("search")
+    p.add_argument("--index", required=True)
+    p.add_argument("--query", required=True)
+    p.add_argument("-k", type=int, default=10)
+    p.add_argument("--wand", action="store_true")
+
+    p = sub.add_parser("count")
+    p.add_argument("--index", required=True)
+    p.add_argument("--query", required=True)
+
+    p = sub.add_parser("merge")
+    p.add_argument("--index", required=True)
+    p.add_argument("--force", type=int, default=0)
+
+    p = sub.add_parser("delete")
+    p.add_argument("--index", required=True)
+    p.add_argument("--terms", required=True)
+
+    p = sub.add_parser("stats")
+    p.add_argument("--index", required=True)
+
+    args = ap.parse_args(argv)
+    out = {
+        "index": cmd_index, "search": cmd_search, "count": cmd_count,
+        "merge": cmd_merge, "delete": cmd_delete, "stats": cmd_stats,
+    }[args.cmd](args)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -306,9 +306,10 @@ def maybe_merge(spark, index_dir: str, max_rounds: int = 100) -> Manifest:
 
 
 def force_merge(spark, index_dir: str, max_segments: int = 1) -> Manifest:
-    """forceMerge analog: merge everything down to max_segments
-    (purges all reachable tombstones)."""
-    from .deletes import compact_tombstones, delete_generations
+    """forceMerge analog: merge down to max_segments, then rewrite any
+    remaining segment that still carries tombstoned docs
+    (forceMergeDeletes semantics) and compact the tombstones."""
+    from .deletes import compact_tombstones, delete_generations, deleted_docs_df
 
     store = ManifestStore(index_dir)
     manifest = store.load()
@@ -316,5 +317,10 @@ def force_merge(spark, index_dir: str, max_segments: int = 1) -> Manifest:
         group = manifest.segments[: max(2, min(MAX_MERGE_AT_ONCE, len(manifest.segments)))]
         manifest = run_merge(spark, store, manifest, group)
     if delete_generations(index_dir):
+        dele = deleted_docs_df(spark, index_dir)
+        for seg in list(manifest.segments):
+            seg_meta = spark.read.parquet(doc_meta_path(store.segment_dir(seg.name)))
+            if seg_meta.join(dele, "doc_id", "left_semi").limit(1).count():
+                manifest = run_merge(spark, store, manifest, [seg])
         compact_tombstones(spark, index_dir)
     return manifest
