@@ -1350,3 +1350,67 @@ def seg_phrase_bm25(spark, sf_dir):
 
     s = _seg_searcher(spark, sf_dir)
     return _seg_topk(spark, s.search(PhraseQuery(terms=("hash", "join")), k=10_000_000))
+
+
+# ---------------------------------------------------------------------------
+# significant terms, explanations, facet-on-results
+# ---------------------------------------------------------------------------
+
+from .fulltext import explain_term as _explain_term  # noqa: E402
+from .fulltext import significant_terms as _significant_terms  # noqa: E402
+
+
+@register("ft_significant_terms", _ft_sql("""
+SELECT fg.term, fg.fg_df, CAST(f.df AS BIGINT) AS bg_df,
+       round((fg.fg_df * 1.0 / (SELECT count(DISTINCT doc_id) FROM post WHERE term = 'dup'))
+             / (f.df * 1.0 / (SELECT n FROM stats)), 6) AS lift
+FROM (
+  SELECT term, CAST(count(*) AS BIGINT) AS fg_df
+  FROM post WHERE doc_id IN (SELECT DISTINCT doc_id FROM post WHERE term = 'dup')
+  GROUP BY term
+) fg JOIN dfs f ON fg.term = f.term
+WHERE fg.fg_df >= 2 AND fg.term <> 'dup'
+ORDER BY round((fg.fg_df * 1.0 / (SELECT count(DISTINCT doc_id) FROM post WHERE term = 'dup'))
+             / (f.df * 1.0 / (SELECT n FROM stats)), 6) DESC, fg.term ASC
+LIMIT 10
+"""))
+def ft_significant_terms(spark, sf_dir):
+    """significantTerms: foreground-vs-background lift for docs
+    matching 'dup' (SignificantTermsStream analog)."""
+    return _significant_terms(ft(spark, sf_dir), "dup", n=10, min_df=2)
+
+
+@register("ft_explain", _ft_sql("""
+SELECT p.doc_id,
+       CAST(p.tf AS BIGINT) AS tf,
+       CAST(l.dl AS BIGINT) AS dl,
+       CAST(f.df AS BIGINT) AS df,
+       round(ln(1 + ((SELECT n FROM stats) - f.df + 0.5) / (f.df + 0.5)), 6) AS idf,
+       round(1.2 * (0.25 + 0.75 * l.dl / (SELECT avgdl FROM stats)), 6) AS norm_denom,
+       round(ln(1 + ((SELECT n FROM stats) - f.df + 0.5) / (f.df + 0.5))
+             * (p.tf * 2.2)
+             / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / (SELECT avgdl FROM stats))), 6) AS score
+FROM post p JOIN dfs f USING (term) JOIN dl l USING (doc_id)
+WHERE p.term = 'spark' AND p.doc_id = 7
+"""))
+def ft_explain(spark, sf_dir):
+    """Explanation tree (Weight.explain / CheckHits.checkExplanations
+    analog): every BM25 factor exposed and recomputed by the oracle."""
+    return _explain_term(ft(spark, sf_dir), "spark", doc_id=7)
+
+
+@register("ft_faceted_search", _ft_sql("""
+SELECT d.lang, CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT DISTINCT doc_id FROM post WHERE term = 'spark') m
+JOIN documents d USING (doc_id)
+GROUP BY d.lang
+"""))
+def ft_faceted_search(spark, sf_dir):
+    """Facet over a query's result set (the Solr q= + facet= combo):
+    match set semi-joins the doc table, then a field facet."""
+    idx = ft(spark, sf_dir)
+    matches = idx.term_in_set(["spark"])
+    return (
+        idx.df.join(matches, "doc_id", "left_semi")
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    )

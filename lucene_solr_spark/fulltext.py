@@ -479,3 +479,59 @@ def classic_tfidf_expr(tf: Column, dl: Column, idf: float,
         F.lit(boost) * F.sqrt(tf.cast("double")) * F.lit(idf * idf)
         / F.sqrt(dl.cast("double"))
     )
+
+
+def significant_terms(idx: "FulltextIndex", query_term: str, n: int = 10,
+                      min_df: int = 2) -> DataFrame:
+    """significantTerms stream (SignificantTermsStream.java analog):
+    terms overrepresented in the docs matching `query_term` vs the
+    whole corpus. Score = (fg_df/fg_size) / (bg_df/bg_size) computed
+    in fixed double op order; the foreground doc set is a semi join.
+    """
+    st = idx.stats
+    fg_docs = idx.post.where(F.col("term") == query_term).select("doc_id")
+    fg_size = fg_docs.count()  # weight-creation style scalar
+    if fg_size == 0:
+        return idx.df.sparkSession.createDataFrame(
+            [], "term string, fg_df long, bg_df long, lift double")
+    fg = (
+        idx.post.join(fg_docs, "doc_id", "left_semi")
+        .groupBy("term").agg(F.count(F.lit(1)).alias("fg_df"))
+    )
+    bg = idx.post.groupBy("term").agg(F.count(F.lit(1)).alias("bg_df"))
+    joined = fg.join(bg, "term").where(
+        (F.col("fg_df") >= min_df) & (F.col("term") != query_term)
+    )
+    lift = (F.col("fg_df").cast("double") / F.lit(float(fg_size))) / (
+        F.col("bg_df").cast("double") / F.lit(float(st.doc_count))
+    )
+    return (
+        joined.select("term", "fg_df", "bg_df", F.round(lift, 6).alias("lift"))
+        .orderBy(F.desc(F.round(lift, 6)), F.asc("term"))
+        .limit(n)
+    )
+
+
+def explain_term(idx: "FulltextIndex", term: str, doc_id: int) -> DataFrame:
+    """Explanation tree analog (Weight.explain / CheckHits
+    recomputation): the BM25 factor breakdown for one (term, doc):
+    tf, dl, df, idf, norm denominator, final score — each a column so
+    the oracle recomputes every node."""
+    st = idx.stats
+    dfs = term_dfs(idx.post, [term])
+    idf = st.idf(dfs[term])
+    row = (
+        idx.post.where((F.col("term") == term) & (F.col("doc_id") == doc_id))
+        .join(idx.dl, "doc_id")
+    )
+    tf_d = F.col("tf").cast("double")
+    norm_part = F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl").cast("double") / F.lit(st.avgdl))
+    return row.select(
+        "doc_id",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("dl").cast("long").alias("dl"),
+        F.lit(dfs[term]).cast("long").alias("df"),
+        F.round(F.lit(idf), 6).alias("idf"),
+        F.round(norm_part, 6).alias("norm_denom"),
+        F.round(F.lit(idf) * (tf_d * F.lit(K1 + 1.0)) / (tf_d + norm_part), 6).alias("score"),
+    )
