@@ -1414,3 +1414,55 @@ def ft_faceted_search(spark, sf_dir):
         idx.df.join(matches, "doc_id", "left_semi")
         .groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@register("ft_more_like_this", _ft_sql("""
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT s.doc_id, sum(s.score) AS score
+  FROM scored s
+  WHERE s.term IN (
+    SELECT term FROM (
+      SELECT p.term,
+             p.tf * ln(1 + ((SELECT n FROM stats) - f.df + 0.5) / (f.df + 0.5)) AS w
+      FROM post p JOIN dfs f USING (term) WHERE p.doc_id = 5
+      ORDER BY w DESC, p.term ASC LIMIT 5
+    )
+  ) AND s.doc_id <> 5
+  GROUP BY s.doc_id
+)
+ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10
+"""))
+def ft_more_like_this(spark, sf_dir):
+    """MoreLikeThis / knn text stream (KnnStream.java analog): the
+    source doc's top-5 tf-idf terms become an OR query, self excluded,
+    BM25-summed top-10."""
+    idx = ft(spark, sf_dir)
+    st = idx.stats
+    src_doc = 5
+    rows = (
+        idx.post.where(F.col("doc_id") == src_doc)
+        .groupBy("term").agg(F.first("tf").alias("tf"))
+        .collect()
+    )
+    dfs = _ft_term_dfs(idx, [r["term"] for r in rows])
+    weighted = sorted(
+        ((r["tf"] * st.idf(dfs[r["term"]]), r["term"]) for r in rows),
+        key=lambda x: (-x[0], x[1]),
+    )
+    terms = [t for _, t in weighted[:5]]
+    sc = idx.scored_postings(terms)
+    agg = (
+        sc.where(F.col("doc_id") != src_doc)
+        .groupBy("doc_id").agg(F.sum("score").alias("score"))
+    )
+    return (
+        agg.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc(F.round("score", 6)), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _ft_term_dfs(idx, terms):
+    from .fulltext import term_dfs
+
+    return term_dfs(idx.post, terms)
