@@ -59,10 +59,11 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # shingles + n-gram Jaccard (the exact verifier for near-dup candidates)
 # ---------------------------------------------------------------------------
 
-def shingle_array(text_col: Column, k: int = 3) -> Column:
-    """k-token shingles as space-joined strings, via a sequence/
-    transform higher-order pipeline (pure Catalyst)."""
-    toks = tokens_array(text_col)
+def shingle_array(toks: Column, k: int = 3) -> Column:
+    """k-token shingles as space-joined strings over a MATERIALIZED
+    token-array column (pass a projected column, not the tokenization
+    expression: a lambda referencing an unevaluated expression would
+    re-run the full split per element — O(tokens^2) per doc)."""
     idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
     shingles = F.transform(
         idx,
@@ -79,9 +80,12 @@ def shingle_array(text_col: Column, k: int = 3) -> Column:
 def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                  k: int = 3) -> DataFrame:
     """(doc_id, shingle) distinct."""
+    toked = df.select(
+        F.col(id_col).alias("doc_id"), tokens_array(F.col(text_col)).alias("toks")
+    )
     return (
-        df.select(F.col(id_col).alias("doc_id"),
-                  F.explode(shingle_array(F.col(text_col), k)).alias("shingle"))
+        toked.select("doc_id",
+                     F.explode(shingle_array(F.col("toks"), k)).alias("shingle"))
         .distinct()
     )
 
