@@ -1248,7 +1248,9 @@ def _segment_index(spark, sf_dir: str) -> str:
     from .indexing.builder import build_index
     from .indexing.manifest import ManifestStore
 
-    key = _hl.md5(sf_dir.encode()).hexdigest()[:10]
+    # key includes a build-format version so a code change invalidates
+    # any cached gate index
+    key = _hl.md5(f"{sf_dir}|v2".encode()).hexdigest()[:10]
     idx = f"/tmp/lss_gate_index_{key}"
     docs = load(spark, sf_dir, "documents")
     n = docs.count()
