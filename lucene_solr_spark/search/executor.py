@@ -474,10 +474,67 @@ class Searcher:
 
         return per_doc.mapInPandas(score_rows, "doc_id long, score double")
 
+    def _conjunction_blocks(self, must_terms: List[str], all_terms: List[str]):
+        """Leapfrog/skip-list analog (ConjunctionDISI.java:185,
+        MultiLevelSkipListWriter): EXACT block pre-filter for
+        conjunctions. A doc matching every MUST term lives in a chunk
+        (doc_id >> CHUNK_BITS) covered by at least one block of EVERY
+        MUST term, so only blocks overlapping those common chunks can
+        contribute anything to the result — for ANY clause (a retained
+        doc's posting block necessarily spans the doc's chunk).
+        Returns the pruned blocks frame for all query terms."""
+        from pyspark.sql import functions as F
+
+        MAX_CHUNKS_PER_BLOCK = 4096  # cap the sequence explosion
+
+        blocks = self.reader.blocks.where(F.col("term").isin(all_terms)).select(
+            "term", "n", "min_doc", "max_doc", "max_tf", "sum_tf", "min_norm", "blob"
+        )
+        span_chunks = (
+            F.shiftright("max_doc", CHUNK_BITS) - F.shiftright("min_doc", CHUNK_BITS) + 1
+        )
+        narrow = blocks.where(span_chunks <= MAX_CHUNKS_PER_BLOCK)
+        wide = blocks.where(span_chunks > MAX_CHUNKS_PER_BLOCK)
+        # a term with any wide block has an (effectively) unbounded chunk
+        # set: drop it from the intersection — common stays a SUPERSET of
+        # the true common chunk set, so pruning remains exact
+        wide_terms = {
+            r["term"] for r in wide.select("term").distinct().collect()
+        }
+        constrained = [t for t in must_terms if t not in wide_terms]
+        if not constrained:
+            return blocks
+        span = F.explode(
+            F.sequence(
+                F.shiftright("min_doc", CHUNK_BITS),
+                F.shiftright("max_doc", CHUNK_BITS),
+            )
+        ).alias("chunk")
+        must_spans = (
+            narrow.where(F.col("term").isin(constrained))
+            .select("term", span)
+            .distinct()
+        )
+        common = (
+            must_spans.groupBy("chunk")
+            .agg(F.count(F.lit(1)).alias("nt"))
+            .where(F.col("nt") == len(constrained))
+            .select("chunk")
+        )
+        kept_narrow = (
+            narrow.select("*", span)
+            .join(F.broadcast(common), "chunk", "left_semi")
+            .drop("chunk")
+            .dropDuplicates(["term", "min_doc"])
+        )
+        return kept_narrow.unionByName(wide)
+
     def _eval_boolean(self, q: BooleanQuery, boost: float):
         """One hash aggregation: per-clause conditional sums (fixed
         summation order across clause ids — bit-reproducible) + occur
-        counters, then the MUST/SHOULD/MUST_NOT/FILTER predicate."""
+        counters, then the MUST/SHOULD/MUST_NOT/FILTER predicate.
+        Conjunctions with >=2 MUST/FILTER term clauses first prune
+        postings blocks to the terms' common doc-chunk set (exact)."""
         from pyspark.sql import functions as F
 
         parts = []
@@ -493,7 +550,20 @@ class Searcher:
                     sub.select(F.lit(i).cast("int").alias("clause_id"), "doc_id", "score")
                 )
         if flat_terms:
-            parts.insert(0, self._score_terms(flat_terms))
+            must_terms = sorted({
+                t for cid, t, _ in flat_terms
+                if occur_by_cid[cid] in (Occur.MUST, Occur.FILTER)
+            })
+            blocks_df = None
+            # prune only when every clause of the query is a flat term:
+            # a non-term MUST sub-clause (e.g. phrase) isn't represented
+            # in the chunk intersection, and its matches would be
+            # truncated by the pruned SHOULD/NOT decodes
+            if len(must_terms) >= 2 and len(flat_terms) == len(q.clauses):
+                blocks_df = self._conjunction_blocks(
+                    must_terms, sorted({t for _, t, _ in flat_terms})
+                )
+            parts.insert(0, self._score_terms(flat_terms, blocks_df=blocks_df))
         u = parts[0]
         for p in parts[1:]:
             u = u.unionByName(p)
