@@ -150,7 +150,30 @@ def main() -> None:
         "index_build": index_build,
         "query_p50_ms": round(p50_ms, 1),
     }
-    print(json.dumps(out))
+    line = json.dumps(out)
+
+    # Durable record first: the round-1 driver run lost its entire perf
+    # record because PySpark daemon BrokenPipe tracebacks at JVM shutdown
+    # buried the stdout JSON line (BENCH_r01.json parsed: null). Write the
+    # result to a file BEFORE any shutdown can pollute the streams.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+
+    # Stop Spark (and its Python-worker daemons) BEFORE printing so the
+    # shutdown spew lands before the JSON line, then flush and hard-exit
+    # to skip atexit handlers that re-trigger daemon tracebacks.
+    try:
+        spark.stop()
+        time.sleep(1.0)  # let daemon stderr drain ahead of our line
+    except Exception:
+        pass
+    sys.stderr.flush()
+    print(line, flush=True)
+    os._exit(0)
 
 
 if __name__ == "__main__":

@@ -1248,9 +1248,21 @@ def _segment_index(spark, sf_dir: str) -> str:
     from .indexing.builder import build_index
     from .indexing.manifest import ManifestStore
 
-    # key includes a build-format version so a code change invalidates
-    # any cached gate index
-    key = _hl.md5(f"{sf_dir}|v2".encode()).hexdigest()[:10]
+    # key includes a build-format version (code changes invalidate) and a
+    # content fingerprint of the documents data files (sizes + mtimes) so
+    # regenerating the dataset in place — even with the same row count —
+    # can never silently reuse a stale index inside the correctness gate
+    doc_path = _os.path.join(sf_dir, "documents.parquet")
+    fp_parts = []
+    if _os.path.isdir(doc_path):
+        for fn in sorted(_os.listdir(doc_path)):
+            if fn.endswith(".parquet"):
+                st = _os.stat(_os.path.join(doc_path, fn))
+                fp_parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+    elif _os.path.exists(doc_path):
+        st = _os.stat(doc_path)
+        fp_parts.append(f"documents:{st.st_size}:{st.st_mtime_ns}")
+    key = _hl.md5(f"{sf_dir}|v3|{';'.join(fp_parts)}".encode()).hexdigest()[:10]
     idx = f"/tmp/lss_gate_index_{key}"
     docs = load(spark, sf_dir, "documents")
     n = docs.count()

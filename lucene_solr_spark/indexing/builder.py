@@ -344,15 +344,20 @@ def build_index(
             continue
         seg_name = f"seg_{batch_id}"
         seg_dir = store.segment_dir(seg_name)
+        # allocate from the persisted high-water mark, never total_docs:
+        # after a purging merge, total_docs < already-assigned max ID and
+        # reusing IDs of live docs would corrupt scoring and deletes
+        doc_base = max(manifest.next_doc_id, manifest.total_docs)
         counters = build_segment(
-            spark, df, seg_dir, doc_base=manifest.total_docs,
+            spark, df, seg_dir, doc_base=doc_base,
             analyzer=analyzer, norms=norms, positions=positions,
             assume_sorted=assume_sorted,
         )
+        manifest.next_doc_id = doc_base + counters["doc_count"]
         manifest.segments.append(
             SegmentInfo(
                 name=seg_name,
-                doc_base=manifest.total_docs,
+                doc_base=doc_base,
                 doc_count=counters["doc_count"],
                 sum_dl=counters["sum_dl"],
                 size_bytes=counters["size_bytes"],

@@ -24,7 +24,7 @@ is a broadcast-able left_anti join keyed on doc_id.
 from __future__ import annotations
 
 import os
-import time
+import uuid
 from typing import Iterator, List, Sequence
 
 import numpy as np
@@ -144,7 +144,11 @@ def update_documents(spark, index_dir: str, df, analyzer: str = "standard",
     from .builder import build_index
 
     n_deleted = delete_by_keys(spark, index_dir, df.select("repo", "path"))
-    batch_id = f"update_{int(time.time() * 1000):x}"
+    # collision-proof batch id: millisecond wall-clock ids collide when
+    # two updates land in the same ms (or the clock steps back), and a
+    # repeated batch id makes build_index skip indexing the new docs
+    # AFTER their old versions were tombstoned — silent data loss
+    batch_id = f"update_{uuid.uuid4().hex[:16]}"
     manifest = build_index(
         spark, index_dir, [(batch_id, df)],
         analyzer=analyzer, norms=norms, positions=positions,

@@ -49,6 +49,12 @@ class Manifest:
     # lineage: one entry per completed build/merge step (counters +
     # watermarks so a 10^12-file build resumes mid-merge)
     lineage: List[dict] = field(default_factory=list)
+    # Monotonic docID high-water mark (IndexWriter's never-reused docID
+    # allocation). total_docs is NOT safe as a doc_base after a purging
+    # merge drops live counts below previously-assigned IDs — reusing an
+    # ID of a live doc would sum scores across distinct docs and make
+    # tombstones delete the wrong doc. next_doc_id only ever grows.
+    next_doc_id: int = 0
 
     @property
     def total_docs(self) -> int:
@@ -93,10 +99,15 @@ class ManifestStore:
             return Manifest()
         with open(os.path.join(self.mdir, f"segments_{gen}.json")) as f:
             raw = json.load(f)
+        segments = [SegmentInfo(**s) for s in raw["segments"]]
+        # pre-next_doc_id manifests: doc_base + doc_count is the best
+        # available bound (exact unless a purging merge already ran)
+        fallback_hwm = max((s.doc_base + s.doc_count for s in segments), default=0)
         return Manifest(
             generation=raw["generation"],
-            segments=[SegmentInfo(**s) for s in raw["segments"]],
+            segments=segments,
             lineage=raw.get("lineage", []),
+            next_doc_id=int(raw.get("next_doc_id", fallback_hwm)),
         )
 
     def commit(self, manifest: Manifest, lineage_entry: Optional[dict] = None) -> Manifest:
@@ -110,6 +121,7 @@ class ManifestStore:
             {
                 "generation": gen,
                 "segments": [asdict(s) for s in manifest.segments],
+                "next_doc_id": manifest.next_doc_id,
                 "lineage": manifest.lineage,
                 "counters": {
                     "total_docs": manifest.total_docs,

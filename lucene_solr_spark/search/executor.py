@@ -286,7 +286,12 @@ class Searcher:
         avgdl64 = sttf / n
         precision = self.precision
         norms_mode = self.reader.norms
-        term_idx = {t: i for i, t in enumerate(terms)}
+        # a phrase may repeat a term ("end to end"): each occurrence row
+        # must be emitted once PER SLOT the term occupies, or the slot's
+        # position join is empty and the phrase silently matches nothing
+        slots_by_term: Dict[str, List[int]] = {}
+        for i, t in enumerate(terms):
+            slots_by_term.setdefault(t, []).append(i)
         bc = spark.sparkContext.broadcast(
             {"cache": cache, "wv": weight_value, "avgdl32": float(avgdl32),
              "idf64": idf_sum64, "avgdl64": avgdl64, "boost": boost}
@@ -299,11 +304,11 @@ class Searcher:
                 cols_doc, cols_ti, cols_nb, cols_pos = [], [], [], []
                 for term, blob in zip(pdf["term"], pdf["blob"]):
                     doc_ids, tfs, norms, pos = decode_block_positions(bytes(blob))
-                    ti = term_idx[term]
-                    cols_doc.append(np.repeat(doc_ids, tfs))
-                    cols_nb.append(np.repeat(norms, tfs))
-                    cols_ti.append(np.full(len(pos), ti, dtype=np.int32))
-                    cols_pos.append(pos)
+                    for ti in slots_by_term[term]:
+                        cols_doc.append(np.repeat(doc_ids, tfs))
+                        cols_nb.append(np.repeat(norms, tfs))
+                        cols_ti.append(np.full(len(pos), ti, dtype=np.int32))
+                        cols_pos.append(pos)
                 if cols_doc:
                     yield pd.DataFrame(
                         {

@@ -110,3 +110,76 @@ def test_sha_lineage_recorded(spark, tiny_index):
     assert m.total_docs == 200
     build_entries = [e for e in m.lineage if e["kind"] == "build"]
     assert build_entries and all(e["sha_mismatches"] == 0 for e in build_entries)
+
+
+def test_phrase_with_repeated_term(spark, tmp_path):
+    """A phrase that repeats a term ("end to end") must emit occurrence
+    rows for EVERY slot the term occupies — regression for the term->
+    last-slot mapping that made such phrases silently match nothing."""
+    import pandas as pd
+
+    from lucene_solr_spark.indexing.builder import build_index
+    from lucene_solr_spark.oracle import OracleIndex
+    from lucene_solr_spark.queryast import PhraseQuery
+    from lucene_solr_spark.search.executor import IndexReader, Searcher
+
+    pdf = pd.DataFrame(
+        {
+            "repo": ["r0"] * 4,
+            "path": [f"p{i}" for i in range(4)],
+            "commit": ["c0"] * 4,
+            "lang": ["txt"] * 4,
+            "content": [
+                "testing alpha beta alpha works great",
+                "alpha beta gamma and gamma beta alpha",
+                "beta alpha beta alpha beta",  # two occurrences
+                "alpha gamma alpha beta gamma alpha again",
+            ],
+        }
+    )
+    idx = str(tmp_path / "phrase_idx")
+    build_index(spark, idx, [("b0", spark.createDataFrame(pdf))])
+    s = Searcher(IndexReader(spark, idx))
+    oracle = OracleIndex(pdf)
+
+    q = PhraseQuery(terms=("alpha", "beta", "alpha"))
+    got = s.search(q, k=10)
+    want = oracle.top_k(q, 10)
+    assert list(got["doc_id"]) == list(want["doc_id"]) == [2, 0]
+    assert list(got["score"]) == list(want["score"])
+
+
+def test_no_docid_reuse_after_purging_merge(spark, tiny_corpus_pdf, tmp_path):
+    """After force_merge purges tombstoned docs, total_docs drops below
+    the docID high-water mark — the next appended batch must allocate
+    fresh IDs from the persisted next_doc_id, never reuse live ones."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.indexing import deletes
+    from lucene_solr_spark.indexing.builder import build_index
+    from lucene_solr_spark.indexing.manifest import ManifestStore
+    from lucene_solr_spark.indexing.merge import force_merge
+    from lucene_solr_spark.search.executor import IndexReader
+
+    idx = str(tmp_path / "hwm_idx")
+    n = len(tiny_corpus_pdf)
+    build_index(spark, idx, [("b0", spark.createDataFrame(tiny_corpus_pdf.iloc[: n // 2])),
+                             ("b1", spark.createDataFrame(tiny_corpus_pdf.iloc[n // 2:]))])
+    n_del = deletes.delete_by_terms(spark, idx, ["ident007"])
+    assert n_del > 0
+    force_merge(spark, idx, max_segments=1)
+
+    m = ManifestStore(idx).load()
+    assert m.total_docs == n - n_del
+    assert m.next_doc_id == n  # high-water mark survives the purge
+
+    extra = tiny_corpus_pdf.iloc[:3].copy()
+    extra["path"] = extra["path"] + "_v2"
+    build_index(spark, idx, [("b2", spark.createDataFrame(extra))])
+
+    m2 = ManifestStore(idx).load()
+    assert m2.segments[-1].doc_base == n
+    assert m2.next_doc_id == n + 3
+    meta = IndexReader(spark, idx).doc_meta
+    dup = meta.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c")).where(F.col("c") > 1).count()
+    assert dup == 0
