@@ -626,61 +626,85 @@ class Searcher:
 
     WAND_MARGIN = 1e-4  # float32 rounding slack (CheckHits tolerance scale)
 
+    def _per_clause_params(self, clause_terms: List[Tuple[int, str, float]]):
+        """Shared WAND weight bookkeeping. Returns (winfo, ub_wv, slack):
+        winfo: per-(term, boost) scoring constants; ub_wv: per-term UB
+        weight = SUM of the term's clause weight values (a term repeated
+        in several SHOULD clauses with different boosts contributes each
+        clause's score to a doc's total, so the block bound must bound
+        the sum — the per-clause UB was the duplicate-boost bug);
+        slack[t]: sum of the OTHER terms' ub_wv — a driver-side bound on
+        everything a doc can earn elsewhere (BM25's tf saturation keeps
+        every per-clause score strictly below its weight value)."""
+        weights = self._weights([(t, b) for _, t, b in clause_terms])
+        winfo: Dict[str, dict] = {}
+        for (t, b), w in weights.items():
+            if self.precision == "float32":
+                winfo[f"{t}\x00{b}"] = {
+                    "wv": float(w["wv"]), "cache": w["cache"],
+                    "avgdl32": float(w["avgdl32"]),
+                }
+            else:
+                winfo[f"{t}\x00{b}"] = {
+                    "wv": w["idf"] * (bm25.K1 + 1.0) * w["boost"],
+                    "avgdl": w["avgdl"], "idf": w["idf"], "boost": w["boost"],
+                }
+        ub_wv: Dict[str, float] = {}
+        for _, t, b in clause_terms:
+            ub_wv[t] = ub_wv.get(t, 0.0) + float(winfo[f"{t}\x00{b}"]["wv"])
+        total_wv = sum(ub_wv.values())
+        slack = {t: total_wv - v for t, v in ub_wv.items()}
+        return winfo, ub_wv, slack
+
     def _block_upper_bounds(self, terms_with_boost: List[Tuple[str, float]]):
         """Block metadata + per-block upper-bound score UB.
 
-        UB(block) = weight * max_tf / (max_tf + norm_value(min_norm)):
-        BM25 is increasing in tf and decreasing in doc length, so the
-        block's (max_tf, min_norm) pair bounds every doc in it. The
-        norm lookup is a broadcast join against a tiny (term x 256)
+        UB(block) = sum_of_clause_weights(term) * max_tf /
+        (max_tf + norm_value(min_norm)): BM25 is increasing in tf and
+        decreasing in doc length, so the block's (max_tf, min_norm) pair
+        bounds every doc's TOTAL contribution from this term across all
+        clauses (weights pre-summed per term — one dim row per
+        (term, norm-byte), so the join emits exactly one row per block;
+        per-clause dim rows used to duplicate blocks and double scores).
+        The norm lookup is a broadcast join against a tiny (term x 256)
         dim table — no UDF, no driver collect of block rows."""
         from pyspark.sql import functions as F
 
-        weights = self._weights(terms_with_boost)
-        rows = []
-        for (term, boost), w in weights.items():
-            if self.precision == "float32":
-                wv, cache = w["wv"], w["cache"]
-            else:
-                wv = w["idf"] * (bm25.K1 + 1.0) * w["boost"]
-                cache = None
-            if self.reader.norms != "byte":
-                continue
-            for nb in range(256):
-                if cache is not None:
-                    nv = float(cache[nb])
-                else:
-                    nv = 1.2 * (0.25 + 0.75 * float(LENGTH_TABLE[nb]) / w["avgdl"])
-                rows.append((term, nb, float(wv), nv))
+        clause_terms = [(i, t, b) for i, (t, b) in enumerate(terms_with_boost)]
+        winfo, ub_wv, _ = self._per_clause_params(clause_terms)
         spark = self.reader.spark
         POSTCOLS = ["term", "n", "min_doc", "max_doc", "max_tf", "sum_tf", "min_norm", "blob"]
+        blocks = self.reader.blocks.where(
+            F.col("term").isin(sorted(ub_wv))
+        ).select(*POSTCOLS)
         if self.reader.norms == "byte":
+            rows = []
+            any_key = {t: next(k for k in winfo if k.startswith(t + "\x00")) for t in ub_wv}
+            for term, wv in ub_wv.items():
+                w = winfo[any_key[term]]
+                for nb in range(256):
+                    if self.precision == "float32":
+                        nv = float(w["cache"][nb])
+                    else:
+                        nv = 1.2 * (0.25 + 0.75 * float(LENGTH_TABLE[nb]) / w["avgdl"])
+                    rows.append((term, nb, float(wv), nv))
             dim = spark.createDataFrame(rows, "term string, nb int, wv double, nv double")
-            blocks = self.reader.blocks.where(
-                F.col("term").isin([t for t, _ in terms_with_boost])
-            ).select(*POSTCOLS)
             joined = blocks.join(
                 F.broadcast(dim),
                 (blocks["term"] == dim["term"]) & (blocks["min_norm"] == dim["nb"]),
             ).drop(dim["term"])
             ub = (F.col("wv") * F.col("max_tf")) / (F.col("max_tf") + F.col("nv"))
             return joined.withColumn("ub", ub)
-        # exact-norm mode: nv from min_norm (a length) inline
-        blocks = self.reader.blocks.where(
-            F.col("term").isin([t for t, _ in terms_with_boost])
-        ).select(*POSTCOLS)
+        # exact-norm mode: nv from min_norm (a length) inline; one branch
+        # per distinct term so each block appears exactly once
         parts = []
-        for (term, boost), w in weights.items():
-            if self.precision == "float32":
-                wv = float(w["wv"])
-                avgdl = float(w["avgdl32"])
-            else:
-                wv = w["idf"] * (bm25.K1 + 1.0) * w["boost"]
-                avgdl = w["avgdl"]
+        for term, wv in ub_wv.items():
+            w = winfo[next(k for k in winfo if k.startswith(term + "\x00"))]
+            avgdl = w["avgdl32"] if self.precision == "float32" else w["avgdl"]
             b = blocks.where(F.col("term") == term)
             nv = F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("min_norm") / F.lit(avgdl))
-            parts.append(b.withColumn("wv", F.lit(wv)).withColumn(
-                "ub", (F.lit(wv) * F.col("max_tf")) / (F.col("max_tf") + nv)
+            parts.append(b.withColumn("wv", F.lit(float(wv))).withColumn(
+                "ub", (F.lit(float(wv)) * F.col("max_tf")) / (F.col("max_tf") + nv)
             ))
         out = parts[0]
         for p in parts[1:]:
@@ -689,7 +713,193 @@ class Searcher:
 
     def _search_pruned_or(self, terms_with_boost: List[Tuple[str, float]],
                           k: int) -> "pd.DataFrame":
-        """Rank-safe block-max top-k for a term / OR-of-terms query.
+        """Rank-safe block-max top-k for a term / OR-of-terms query in
+        ONE Spark job (single mapInPandas stage + one hash agg +
+        TakeOrdered — the same shape as the exhaustive plan, minus the
+        pruned decode work; the previous 3-wave driver-orchestrated
+        version survives as _search_pruned_or_multiwave for the
+        deletes-aware fallback and shadow verification).
+
+        Per partition (the WAND-heap unit; Ding & Suel 2011 block-max
+        bounds, skip-list analog Lucene50SkipWriter.java:46):
+          1. compute every local block's UB from (max_tf, min_norm)
+             metadata, vectorized — weights/caches ride a broadcast;
+          2. decode blocks in UB-descending order until >= ~4k postings
+             are seen; theta := k-th best per-doc PARTIAL sum so far.
+             Any k distinct docs' partial sums lower-bound the true
+             global k-th score (each partial <= its doc's true total),
+             so theta is a valid pruning threshold no matter how the
+             doc's other postings are laid out across partitions;
+          3. prune every remaining block with UB + slack(term) <
+             theta - margin, where slack(term) = sum of the OTHER
+             terms' total weight values (driver-side bound — BM25's tf
+             saturation keeps each per-clause score strictly below its
+             weight value), decode the survivors.
+        A pruned block's docs may surface elsewhere with partial sums,
+        but the pruning condition proves their true totals stay below
+        theta <= true k-th score, so the final top-k is exactly the
+        exhaustive one (shadow-verified in tests/test_wand.py). Emitted
+        rows are per-clause and the final aggregation uses the same
+        ordered conditional-sum shape as _eval_boolean, so scores are
+        bit-identical to the exhaustive path."""
+        from pyspark.sql import functions as F
+
+        if self.reader.has_deletes:
+            # theta must lower-bound the k-th LIVE score; the partition
+            # can't see tombstones, so take the deletes-aware path
+            return self._search_pruned_or_multiwave(terms_with_boost, k)
+
+        clause_terms = [(i, t, b) for i, (t, b) in enumerate(terms_with_boost)]
+        winfo, ub_wv, slack = self._per_clause_params(clause_terms)
+        by_term: Dict[str, List[Tuple[int, float]]] = {}
+        for cid, t, b in clause_terms:
+            by_term.setdefault(t, []).append((cid, b))
+        precision = self.precision
+        norms_mode = self.reader.norms
+        margin = self.WAND_MARGIN
+        spark = self.reader.spark
+        bc = spark.sparkContext.broadcast(
+            {"by_term": by_term, "winfo": winfo, "ub_wv": ub_wv,
+             "slack": slack, "k": k}
+        )
+
+        def _clause_scores(term: str, tfs: np.ndarray, norms: np.ndarray, info):
+            """Per-clause float32/float64 scores — identical arithmetic
+            to _score_terms.decode_score."""
+            out = []
+            for cid, boost in info["by_term"][term]:
+                w = info["winfo"][f"{term}\x00{boost}"]
+                if precision == "float32":
+                    if norms_mode == "byte":
+                        cache = np.asarray(w["cache"], dtype=np.float32)
+                        nv = cache[norms & 0xFF]
+                    else:
+                        nv = _norm32(norms, w["avgdl32"])
+                    freq = tfs.astype(np.float32)
+                    sc = ((np.float32(w["wv"]) * freq) / (freq + nv)).astype(
+                        np.float32).astype(np.float64)
+                else:
+                    # identical op order to _score_terms.decode_score
+                    dl = norms.astype(np.float64)
+                    freq = tfs.astype(np.float64)
+                    denom = freq + 1.2 * (1 - 0.75 + 0.75 * dl / w["avgdl"])
+                    sc = w["idf"] * (freq * (1.2 + 1)) / denom * w["boost"]
+                out.append((cid, sc))
+            return out
+
+        def wand_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            info = bc.value
+            pdfs = [p for p in batches if len(p)]
+            if not pdfs:
+                return
+            pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+            terms = pdf["term"].to_numpy()
+            max_tf = pdf["max_tf"].to_numpy(dtype=np.float64)
+            min_norm = pdf["min_norm"].to_numpy(dtype=np.int64)
+            n_post = pdf["n"].to_numpy(dtype=np.int64)
+            blobs = pdf["blob"].to_numpy()
+
+            # vectorized per-block UBs + slack, grouped by term
+            ub = np.empty(len(pdf), dtype=np.float64)
+            slack_arr = np.empty(len(pdf), dtype=np.float64)
+            for t in pd.unique(terms):
+                m = terms == t
+                wv_t = info["ub_wv"][t]
+                w = info["winfo"][
+                    f"{t}\x00{info['by_term'][t][0][1]}"]
+                if norms_mode == "byte":
+                    if precision == "float32":
+                        cache = np.asarray(w["cache"], dtype=np.float64)
+                        nv = cache[min_norm[m] & 0xFF]
+                    else:
+                        nv = 1.2 * (0.25 + 0.75 * LENGTH_TABLE[
+                            min_norm[m] & 0xFF].astype(np.float64) / w["avgdl"])
+                else:
+                    avgdl = w["avgdl32"] if precision == "float32" else w["avgdl"]
+                    nv = 1.2 * (0.25 + 0.75 * min_norm[m].astype(np.float64) / avgdl)
+                ub[m] = wv_t * max_tf[m] / (max_tf[m] + nv)
+                slack_arr[m] = info["slack"][t]
+
+            order = np.argsort(-ub, kind="stable")
+            kk = info["k"]
+            probe_target = max(4 * kk, 128)
+            csum = np.cumsum(n_post[order])
+            n_probe = int(np.searchsorted(csum, probe_target)) + 1
+            n_probe = min(n_probe, len(order))
+
+            out_cid: List[np.ndarray] = []
+            out_doc: List[np.ndarray] = []
+            out_score: List[np.ndarray] = []
+
+            def decode(idx: int) -> None:
+                doc_ids, tfs, norms = decode_block(bytes(blobs[idx]))
+                for cid, sc in _clause_scores(terms[idx], tfs, norms, info):
+                    out_cid.append(np.full(len(doc_ids), cid, dtype=np.int32))
+                    out_doc.append(doc_ids)
+                    out_score.append(sc)
+
+            for idx in order[:n_probe]:
+                decode(idx)
+
+            theta = -np.inf
+            if out_doc:
+                docs_all = np.concatenate(out_doc)
+                uniq, inv = np.unique(docs_all, return_inverse=True)
+                if len(uniq) >= kk:
+                    sums = np.bincount(inv, weights=np.concatenate(out_score))
+                    theta = float(np.partition(sums, -kk)[-kk])
+
+            rest = order[n_probe:]
+            for idx in rest[ub[rest] + slack_arr[rest] >= theta - margin]:
+                decode(idx)
+
+            if out_doc:
+                yield pd.DataFrame(
+                    {
+                        "clause_id": np.concatenate(out_cid),
+                        "doc_id": np.concatenate(out_doc),
+                        "score": np.concatenate(out_score),
+                    }
+                )
+
+        cand = (
+            self.reader.blocks.where(F.col("term").isin(sorted(ub_wv)))
+            .select("term", "n", "max_tf", "min_norm", "blob")
+            .mapInPandas(wand_partition, "clause_id int, doc_id long, score double")
+        )
+        # identical aggregation shape to _eval_boolean: per-clause
+        # conditional sums added in fixed clause order, then float cast
+        cids = sorted({cid for cid, _, _ in clause_terms})
+        aggs = [
+            F.sum(F.when(F.col("clause_id") == i, F.col("score"))).alias(f"s{i}")
+            for i in cids
+        ]
+        g = cand.groupBy("doc_id").agg(*aggs)
+        total = F.coalesce(F.col(f"s{cids[0]}"), F.lit(0.0))
+        for i in cids[1:]:
+            total = total + F.coalesce(F.col(f"s{i}"), F.lit(0.0))
+        if self.precision == "float32":
+            total = total.cast("float").cast("double")
+        rows = (
+            g.select("doc_id", total.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
+        )
+        return pd.DataFrame(
+            {
+                "rank": range(1, len(rows) + 1),
+                "doc_id": [r["doc_id"] for r in rows],
+                "score": np.array([r["score"] for r in rows], dtype=np.float32)
+                if self.precision == "float32"
+                else [r["score"] for r in rows],
+            }
+        )
+
+    def _search_pruned_or_multiwave(self, terms_with_boost: List[Tuple[str, float]],
+                                    k: int) -> "pd.DataFrame":
+        """Driver-orchestrated two-phase WAND (the original path, kept
+        for the deletes-aware case and as the shadow oracle).
 
         Phase A: decode each term's top ceil(2k/128)+1 blocks by UB ->
         partial scores -> threshold = k-th best partial total (a LOWER

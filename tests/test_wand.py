@@ -66,3 +66,31 @@ def test_prune_falls_back_for_must(searcher):
         searcher.search(q, k=10),
         "must-fallback",
     )
+
+
+def test_same_term_multiple_boosts_pruned_rank_identical(searcher):
+    """The same term in several SHOULD clauses with different boosts:
+    the block UB must bound the SUM of the clauses' contributions (one
+    UB row per block) — per-clause UB rows used to duplicate block
+    decodes and double the scores."""
+    q = BooleanQuery(clauses=(
+        BooleanClause(Occur.SHOULD, TermQuery(term="import", boost=2.0)),
+        BooleanClause(Occur.SHOULD, TermQuery(term="import", boost=0.5)),
+        BooleanClause(Occur.SHOULD, TermQuery(term="ident007")),
+    ))
+    exhaustive = searcher.search(q, k=10)
+    pruned = searcher.search(q, k=10, prune=True)
+    _assert_same(pruned, exhaustive, "dup-boost")
+
+
+def test_multiwave_same_term_multiple_boosts(searcher):
+    """The deletes-aware multiwave fallback path, same dup-boost shape."""
+    q = BooleanQuery(clauses=(
+        BooleanClause(Occur.SHOULD, TermQuery(term="class", boost=3.0)),
+        BooleanClause(Occur.SHOULD, TermQuery(term="class", boost=0.25)),
+        BooleanClause(Occur.SHOULD, TermQuery(term="ident042")),
+    ))
+    terms = [("class", 3.0), ("class", 0.25), ("ident042", 1.0)]
+    exhaustive = searcher.search(q, k=10)
+    pruned = searcher._search_pruned_or_multiwave(terms, k=10)
+    _assert_same(pruned, exhaustive, "dup-boost-multiwave")
