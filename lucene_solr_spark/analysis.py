@@ -144,6 +144,55 @@ def simple_analyze(text: str, stop: bool = False) -> List[str]:
 
 
 # ---------------------------------------------------------------------------
+# Per-field analyzer registry (analysis/common analog, SURVEY §2.2):
+# every analyzer returns ({term: [positions]}, field_length) — the
+# contract the DWPT chamber inverts from.
+# ---------------------------------------------------------------------------
+
+def _positions_of(toks: List[str]):
+    per: dict = {}
+    for i, t in enumerate(toks):
+        lst = per.get(t)
+        if lst is None:
+            per[t] = lst = []
+        lst.append(i)
+    return per, len(toks)
+
+
+def analyze_field(text: str, analyzer: str):
+    """Invert one field value under a named analyzer.
+
+    standard     — UAX#29-ish tokenizer + lowercase + 33-word stop set
+                   with position gaps (StandardAnalyzer)
+    simple       — lowercase, split [^a-z0-9]+ (SQL-replicable)
+    simple_stop  — simple + stop set, positions compacted
+    whitespace   — split on whitespace, case preserved
+                   (WhitespaceAnalyzer)
+    keyword      — the whole value as ONE token, case preserved
+                   (KeywordAnalyzer — untokenized identifiers/enums)
+    shingle      — word bigrams over simple tokens, space-joined
+                   (ShingleFilter, outputUnigrams=false)
+    """
+    text = text or ""
+    if analyzer == "standard":
+        return invert_tokens(text)
+    if analyzer == "simple":
+        return _positions_of(simple_analyze(text, stop=False))
+    if analyzer == "simple_stop":
+        return _positions_of(simple_analyze(text, stop=True))
+    if analyzer == "whitespace":
+        return _positions_of(text.split())
+    if analyzer == "keyword":
+        return ({text: [0]}, 1) if text else ({}, 0)
+    if analyzer == "shingle":
+        toks = simple_analyze(text, stop=False)
+        return _positions_of(
+            [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        )
+    raise ValueError(f"unknown analyzer: {analyzer}")
+
+
+# ---------------------------------------------------------------------------
 # Arrow-batched Spark UDF factories (imported lazily so the pure-Python
 # oracle never needs a JVM).
 # ---------------------------------------------------------------------------

@@ -1142,6 +1142,44 @@ def ft_classic_tfidf(spark, sf_dir):
     return ft(spark, sf_dir).classic_term_query("spark", k=10)
 
 
+@register("ft_lm_dirichlet", _ft_sql("""
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT p.doc_id,
+         greatest(
+           ln(1 + p.tf / (2000.0 * ((SELECT count(*) FROM toks WHERE term = 'spark') * 1.0
+                                    / (SELECT count(*) FROM toks))))
+           + ln(2000.0 / (l.dl + 2000.0)),
+           0.0) AS score
+  FROM post p JOIN dl l USING (doc_id)
+  WHERE p.term = 'spark'
+)
+ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10
+"""))
+def ft_lm_dirichlet(spark, sf_dir):
+    """LMDirichletSimilarity (mu=2000): Bayesian-smoothed language
+    model, score clamped at 0 (LMDirichletSimilarity.java:60-68)."""
+    return ft(spark, sf_dir).lm_dirichlet_term_query("spark", k=10)
+
+
+@register("ft_dfr_inl2", _ft_sql("""
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT p.doc_id,
+         (p.tf * (ln(1 + 1.0 * (SELECT avgdl FROM stats) / l.dl) / ln(2)))
+           * (ln(((SELECT n FROM stats) + 1) * 1.0 / (f.df + 0.5)) / ln(2))
+           / ((p.tf * (ln(1 + 1.0 * (SELECT avgdl FROM stats) / l.dl) / ln(2))) + 1.0)
+           AS score
+  FROM post p JOIN dfs f USING (term) JOIN dl l USING (doc_id)
+  WHERE p.term = 'spark'
+)
+ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10
+"""))
+def ft_dfr_inl2(spark, sf_dir):
+    """DFR I(n)L2 (DFRSimilarity.java: BasicModelIn + AfterEffectL +
+    NormalizationH2, c=1): tfn = tf*log2(1+avgdl/dl), score =
+    tfn*log2((N+1)/(df+0.5))/(tfn+1)."""
+    return ft(spark, sf_dir).dfr_inl2_term_query("spark", k=10)
+
+
 @register("ft_sloppy_phrase", _ft_sql("""
 SELECT doc_id, round(score, 6) AS score FROM (
   SELECT f.doc_id,
@@ -1244,14 +1282,10 @@ import hashlib as _hl  # noqa: E402
 import os as _os  # noqa: E402
 
 
-def _segment_index(spark, sf_dir: str) -> str:
-    from .indexing.builder import build_index
-    from .indexing.manifest import ManifestStore
-
-    # key includes a build-format version (code changes invalidate) and a
-    # content fingerprint of the documents data files (sizes + mtimes) so
-    # regenerating the dataset in place — even with the same row count —
-    # can never silently reuse a stale index inside the correctness gate
+def _gate_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of the documents data files (sizes + mtimes)
+    so regenerating the dataset in place — even with the same row count —
+    can never silently reuse a stale index inside the correctness gate."""
     doc_path = _os.path.join(sf_dir, "documents.parquet")
     fp_parts = []
     if _os.path.isdir(doc_path):
@@ -1262,26 +1296,56 @@ def _segment_index(spark, sf_dir: str) -> str:
     elif _os.path.exists(doc_path):
         st = _os.stat(doc_path)
         fp_parts.append(f"documents:{st.st_size}:{st.st_mtime_ns}")
-    key = _hl.md5(f"{sf_dir}|v3|{';'.join(fp_parts)}".encode()).hexdigest()[:10]
-    idx = f"/tmp/lss_gate_index_{key}"
+    return ";".join(fp_parts)
+
+
+def _gate_corpus(spark, sf_dir: str):
     docs = load(spark, sf_dir, "documents")
-    n = docs.count()
-    m = ManifestStore(idx)
-    if m.load().total_docs != n:
+    # (repo, path) order == doc_id order => engine doc_id == source doc_id
+    return docs.select(
+        F.lit("docs").alias("repo"),
+        F.format_string("%09d", F.col("doc_id")).alias("path"),
+        F.lit("c0").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+def _build_gate_index(spark, sf_dir: str, tag: str, **build_kwargs) -> str:
+    """Build-or-reuse a /tmp gate index over `documents`. Key includes a
+    build-format version tag (code changes invalidate) and the data
+    fingerprint."""
+    from .indexing.builder import build_index
+    from .indexing.manifest import ManifestStore
+
+    key = _hl.md5(
+        f"{sf_dir}|{tag}|{_gate_fingerprint(sf_dir)}".encode()
+    ).hexdigest()[:10]
+    idx = f"/tmp/lss_gate_index_{key}"
+    n = load(spark, sf_dir, "documents").count()
+    if ManifestStore(idx).load().total_docs != n:
         import shutil
 
         shutil.rmtree(idx, ignore_errors=True)
-        corpus = docs.select(
-            F.lit("docs").alias("repo"),
-            F.format_string("%09d", F.col("doc_id")).alias("path"),
-            F.lit("c0").alias("commit"),
-            F.col("lang"),
-            F.col("text").alias("content"),
-        )
-        # (repo, path) order == doc_id order => engine doc_id == source doc_id
-        build_index(spark, idx, [("gate", corpus)], analyzer="simple_stop",
-                    norms="exact")
+        build_index(spark, idx, [("gate", _gate_corpus(spark, sf_dir))],
+                    norms="exact", **build_kwargs)
     return idx
+
+
+def _segment_index(spark, sf_dir: str) -> str:
+    return _build_gate_index(spark, sf_dir, "v3", analyzer="simple_stop")
+
+
+def _segment_index_mf(spark, sf_dir: str) -> str:
+    """Multi-field gate index: body = analyzed text (simple_stop — the
+    SQL-replicable chain, so body stats equal the single-field stats the
+    `scored` CTE computes) + lang = KeywordAnalyzer field (dl == avgdl
+    == 1, so its BM25 score is exactly idf — SQL-computable)."""
+    return _build_gate_index(
+        spark, sf_dir, "mf_v1",
+        fields=[("body", "content", "simple_stop"),
+                ("lang", "lang", "keyword")],
+    )
 
 
 def _seg_searcher(spark, sf_dir):
@@ -1364,6 +1428,204 @@ def seg_phrase_bm25(spark, sf_dir):
 
     s = _seg_searcher(spark, sf_dir)
     return _seg_topk(spark, s.search(PhraseQuery(terms=("hash", "join")), k=10_000_000))
+
+
+@register("ft_span_near", _ft_sql("""
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT f.doc_id,
+         ((SELECT ln(1 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5))
+             FROM dfs WHERE term = 'hash')
+          + (SELECT ln(1 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5))
+             FROM dfs WHERE term = 'join')
+          + (SELECT ln(1 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5))
+             FROM dfs WHERE term = 'scan'))
+           * (f.tf * 2.2)
+           / (f.tf + 1.2 * (0.25 + 0.75 * l.dl / (SELECT avgdl FROM stats)))
+           AS score
+  FROM (
+    SELECT a.doc_id,
+           sum(1.0 / ((c.pos - a.pos + 1 - 3) + 1.0)) AS tf
+    FROM postoks a
+    JOIN postoks b ON a.doc_id = b.doc_id AND b.pos > a.pos
+    JOIN postoks c ON a.doc_id = c.doc_id AND c.pos > b.pos
+    WHERE a.term = 'hash' AND b.term = 'join' AND c.term = 'scan'
+      AND (c.pos - a.pos + 1 - 3) <= 4
+    GROUP BY a.doc_id
+  ) f JOIN dl l USING (doc_id)
+)
+ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10
+""", positions=True))
+def ft_span_near(spark, sf_dir):
+    """SpanNearQuery(hash, join, scan; slop=4, ordered) — ordered
+    proximity generalizing the phrase position-join machinery
+    (spans/SpanNearQuery.java:42; weights 1/(dist+1))."""
+    return ft(spark, sf_dir).span_near(["hash", "join", "scan"], slop=4, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Scoring MultiTermQuery rewrites through the segment engine
+# (MultiTermQuery.java:94 SCORING_BOOLEAN_REWRITE, :114 TopTermsRewrite)
+# ---------------------------------------------------------------------------
+
+
+@register("ft_prefix_scored", _ft_sql("""
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT doc_id, sum(score) AS score
+  FROM scored WHERE term LIKE 'sp%' GROUP BY doc_id
+)
+ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10
+"""))
+def ft_prefix_scored(spark, sf_dir):
+    """Prefix query under SCORING_BOOLEAN rewrite: every matched term
+    scored with its OWN idf and summed per doc (vs the constant-score
+    default) — what a user expects from `sp*` in a relevance sort."""
+    from .queryast import MultiTermQuery
+
+    s = _seg_searcher(spark, sf_dir)
+    q = MultiTermQuery(kind="prefix", pattern="sp",
+                       rewrite_method="scoring_boolean")
+    return _seg_topk(spark, s.search(q, k=10_000_000))
+
+
+@register("ft_prefix_topterms", _ft_sql("""
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT doc_id, sum(score) AS score
+  FROM scored WHERE term IN (
+    SELECT term FROM dfs WHERE term LIKE 's%' ORDER BY term LIMIT 3
+  ) GROUP BY doc_id
+)
+ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10
+"""))
+def ft_prefix_topterms(spark, sf_dir):
+    """TOP_TERMS(3) rewrite: scoring boolean over the 3 most competitive
+    matched terms (equal boosts -> term-order tiebreak, deterministic)."""
+    from .queryast import MultiTermQuery
+
+    s = _seg_searcher(spark, sf_dir)
+    q = MultiTermQuery(kind="prefix", pattern="s",
+                       rewrite_method="top_terms_3")
+    return _seg_topk(spark, s.search(q, k=10_000_000))
+
+
+@register("ft_fuzzy_scored", _ft_sql("""
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT s.doc_id,
+         sum(s.score * (1.0 - CAST(levenshtein(s.term, 'spark') AS DOUBLE)
+                              / greatest(1, least(length(s.term), 5)))) AS score
+  FROM scored s
+  WHERE levenshtein(s.term, 'spark') <= 1
+    AND abs(length(s.term) - 5) <= 1
+  GROUP BY s.doc_id
+)
+ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10
+"""))
+def ft_fuzzy_scored(spark, sf_dir):
+    """Fuzzy query under SCORING_BOOLEAN: each matched term scored with
+    its own idf TIMES the FuzzyTermsEnum similarity boost
+    1 - editDistance/min(|term|,|pattern|) (FuzzyTermsEnum.java)."""
+    from .queryast import MultiTermQuery
+
+    s = _seg_searcher(spark, sf_dir)
+    q = MultiTermQuery(kind="fuzzy", pattern="spark", max_edits=1,
+                       rewrite_method="scoring_boolean")
+    return _seg_topk(spark, s.search(q, k=10_000_000))
+
+
+# ---------------------------------------------------------------------------
+# MULTI-FIELD segment engine under the SQL gate (Document-of-fields
+# model: per-field postings/norms/stats; document/Document.java:41,
+# FieldInfo.java, QueryParser.jj:289 field syntax). body = analyzed
+# text, lang = KeywordAnalyzer field whose BM25 score is exactly idf
+# (dl == avgdl == 1) — both SQL-computable.
+# ---------------------------------------------------------------------------
+
+
+def _seg_searcher_mf(spark, sf_dir):
+    from .search.executor import IndexReader, Searcher
+
+    return Searcher(
+        IndexReader(spark, _segment_index_mf(spark, sf_dir), norms="exact"),
+        precision="float64",
+    )
+
+
+_LANG_SCORE_SQL = """
+ln(1 + ((SELECT count(*) FROM documents)
+        - (SELECT count(*) FROM documents WHERE lang = '{lang}') + 0.5)
+       / ((SELECT count(*) FROM documents WHERE lang = '{lang}') + 0.5))
+  * (1.0 * 2.2) / (1.0 + 1.2 * (0.25 + 0.75 * 1.0 / 1.0))
+"""
+
+
+@register("ft_multifield_bool", _ft_sql("""
+SELECT doc_id, round(bs + ls, 6) AS score FROM (
+  SELECT s.doc_id, s.score AS bs,
+         """ + _LANG_SCORE_SQL.format(lang="en") + """ AS ls
+  FROM scored s
+  WHERE s.term = 'spark'
+    AND s.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+)
+ORDER BY round(bs + ls, 6) DESC, doc_id ASC LIMIT 10
+"""))
+def ft_multifield_bool(spark, sf_dir):
+    """Cross-field MUST conjunction body:spark AND lang:en through the
+    multi-field segment index: per-field stats/norms, summed clause
+    scores (Term.java (field,text) pairs; BooleanQuery across fields)."""
+    from .queryast import parse_query
+
+    s = _seg_searcher_mf(spark, sf_dir)
+    q = parse_query("body:spark AND lang:en")
+    return _seg_topk(spark, s.search(q, k=10_000_000))
+
+
+@register("ft_keyword_field_term", _ft_sql("""
+SELECT doc_id, round(""" + _LANG_SCORE_SQL.format(lang="es") + """, 6) AS score
+FROM documents WHERE lang = 'es'
+ORDER BY round(""" + _LANG_SCORE_SQL.format(lang="es") + """, 6) DESC, doc_id ASC
+LIMIT 10
+"""))
+def ft_keyword_field_term(spark, sf_dir):
+    """KeywordAnalyzer field query lang:es — untokenized single-token
+    field; BM25 collapses to idf exactly (dl == avgdl == 1)."""
+    from .queryast import TermQuery
+
+    s = _seg_searcher_mf(spark, sf_dir)
+    return _seg_topk(spark, s.search(TermQuery(term="es", field="lang"),
+                                     k=10_000_000))
+
+
+@register("ft_field_phrase", _ft_sql("""
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT f.doc_id,
+         ((SELECT ln(1 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5))
+             FROM dfs WHERE term = 'hash')
+          + (SELECT ln(1 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5))
+             FROM dfs WHERE term = 'join'))
+           * (f.tf * 2.2)
+           / (f.tf + 1.2 * (0.25 + 0.75 * l.dl / (SELECT avgdl FROM stats)))
+           AS score
+  FROM (
+    SELECT a.doc_id, count(*) AS tf
+    FROM postoks a JOIN postoks b
+      ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    WHERE a.term = 'hash' AND b.term = 'join'
+    GROUP BY a.doc_id
+  ) f JOIN dl l USING (doc_id)
+  WHERE f.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'zh')
+)
+ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10
+""", positions=True))
+def ft_field_phrase(spark, sf_dir):
+    """Field-scoped phrase body:"hash join" FILTERed by the keyword
+    field (unscored FILTER occur) through the multi-field index."""
+    from .queryast import BooleanClause, BooleanQuery, Occur, PhraseQuery, TermQuery
+
+    s = _seg_searcher_mf(spark, sf_dir)
+    q = BooleanQuery(clauses=(
+        BooleanClause(Occur.MUST, PhraseQuery(terms=("hash", "join"), field="body")),
+        BooleanClause(Occur.FILTER, TermQuery(term="zh", field="lang")),
+    ))
+    return _seg_topk(spark, s.search(q, k=10_000_000))
 
 
 # ---------------------------------------------------------------------------

@@ -140,6 +140,20 @@ def term_dfs(post: DataFrame, terms: Sequence[str]) -> Dict[str, int]:
     return out
 
 
+def term_ttfs(toks: DataFrame, terms: Sequence[str]) -> Dict[str, int]:
+    """totalTermFreq per query term (LM similarities need it); tiny
+    driver-side collect like term_dfs."""
+    rows = (
+        toks.where(F.col("term").isin(list(terms)))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("ttf"))
+        .collect()
+    )
+    out = {t: 0 for t in terms}
+    out.update({r["term"]: int(r["ttf"]) for r in rows})
+    return out
+
+
 def bm25_expr(tf: Column, dl: Column, idf: float, avgdl: float,
               boost: float = 1.0) -> Column:
     """float64 BM25 score column; all constants folded as literals so
@@ -407,6 +421,58 @@ class FulltextIndex:
         )
         return _topk(sc, k)
 
+    def lm_dirichlet_term_query(self, term: str, k: int = 10,
+                                mu: float = 2000.0) -> DataFrame:
+        """TermQuery under LMDirichletSimilarity (similarities/
+        LMDirichletSimilarity.java:60-68, default mu=2000):
+        score = ln(1 + tf/(mu * p(w|C))) + ln(mu/(dl + mu)), clamped at
+        0; p(w|C) = totalTermFreq/sumTotalTermFreq. Same one-scan
+        postings relation, different scoring expression — the pluggable
+        Similarity point."""
+        st = self.stats
+        ttf = term_ttfs(self.toks, [term])[term]
+        if ttf == 0 or st.total_tokens == 0:
+            return self.df.sparkSession.createDataFrame([], "doc_id long, score double")
+        p_c = ttf / st.total_tokens
+        tf_d = F.col("tf").cast("double")
+        dl_d = F.col("dl").cast("double")
+        score = F.greatest(
+            F.log(F.lit(1.0) + tf_d / F.lit(mu * p_c))
+            + F.log(F.lit(mu) / (dl_d + F.lit(mu))),
+            F.lit(0.0),
+        )
+        sc = (
+            self.post.where(F.col("term") == term)
+            .join(self.dl, "doc_id")
+            .select("doc_id", score.alias("score"))
+        )
+        return _topk(sc, k)
+
+    def dfr_inl2_term_query(self, term: str, k: int = 10,
+                            c: float = 1.0) -> DataFrame:
+        """TermQuery under DFR I(n)L2 (similarities/DFRSimilarity.java:
+        BasicModelIn + AfterEffectL + NormalizationH2, c=1):
+        tfn = tf * log2(1 + c*avgdl/dl); score =
+        tfn * log2((N+1)/(df+0.5)) / (tfn + 1)."""
+        st = self.stats
+        dfs = term_dfs(self.post, [term])
+        if dfs[term] == 0:
+            return self.df.sparkSession.createDataFrame([], "doc_id long, score double")
+        tf_d = F.col("tf").cast("double")
+        dl_d = F.col("dl").cast("double")
+        ln2 = F.log(F.lit(2.0))
+        tfn = tf_d * (F.log(F.lit(1.0) + F.lit(c) * F.lit(st.avgdl) / dl_d) / ln2)
+        gain = F.log(
+            F.lit(float(st.doc_count + 1)) / F.lit(dfs[term] + 0.5)
+        ) / ln2
+        score = tfn * gain / (tfn + F.lit(1.0))
+        sc = (
+            self.post.where(F.col("term") == term)
+            .join(self.dl, "doc_id")
+            .select("doc_id", score.alias("score"))
+        )
+        return _topk(sc, k)
+
     def sloppy_phrase(self, t1: str, t2: str, slop: int = 2, k: int = 10) -> DataFrame:
         """Two-term sloppy phrase (SloppyPhraseMatcher; weight
         1/(distance+1), BM25Similarity.sloppyFreq:77-79): positions
@@ -424,6 +490,46 @@ class FulltextIndex:
         freq = pairs.groupBy("doc_id").agg(F.sum("w").alias("tf"))
         sc = freq.join(self.dl, "doc_id").select(
             "doc_id", bm25_expr(F.col("tf"), F.col("dl"), idf_sum, st.avgdl).alias("score"))
+        return _topk(sc, k)
+
+    def span_near(self, terms: Sequence[str], slop: int = 2, k: int = 10,
+                  ordered: bool = True) -> DataFrame:
+        """SpanNearQuery (spans/SpanNearQuery.java:42): n sub-spans in
+        document order (ordered=True) within `slop` total gap. Matches
+        are enumerated as ordered position tuples p1 < p2 < ... < pn
+        with (pn - p1 + 1 - n) <= slop (tuple enumeration — a superset
+        of Lucene's minimal-interval iteration, documented deviation);
+        each weighted 1/(dist+1) (SloppyPhraseMatcher weight), phrase
+        freq = sum of weights, scored like a term with summed idf.
+        Plan: n-1 positional self-joins on (doc_id, pos ordering) over
+        the exploded token relation — all JVM-side."""
+        st = self.stats
+        dfs = term_dfs(self.post, list(terms))
+        if any(dfs[t] == 0 for t in terms):
+            return self.df.sparkSession.createDataFrame([], "doc_id long, score double")
+        idf_sum = sum(st.idf(dfs[t]) for t in terms)
+        n = len(terms)
+        cur = self.toks.where(F.col("term") == terms[0]).select(
+            "doc_id", F.col("pos").alias("p0"))
+        for i, t in enumerate(terms[1:], 1):
+            nxt = self.toks.where(F.col("term") == t).select(
+                F.col("doc_id").alias("d_"), F.col("pos").alias(f"p{i}"))
+            cond = (cur["doc_id"] == nxt["d_"])
+            if ordered:
+                cond = cond & (F.col(f"p{i}") > F.col(f"p{i-1}"))
+            cur = cur.join(nxt, cond).drop("d_")
+        dist = F.col(f"p{n-1}") - F.col("p0") + F.lit(1 - n)
+        if not ordered:
+            # unordered: width from the min/max of all positions
+            pmin = F.least(*[F.col(f"p{i}") for i in range(n)])
+            pmax = F.greatest(*[F.col(f"p{i}") for i in range(n)])
+            dist = pmax - pmin + F.lit(1 - n)
+        spans = cur.where(dist <= slop).select(
+            "doc_id", (F.lit(1.0) / (dist.cast("double") + 1.0)).alias("w"))
+        freq = spans.groupBy("doc_id").agg(F.sum("w").alias("tf"))
+        sc = freq.join(self.dl, "doc_id").select(
+            "doc_id",
+            bm25_expr(F.col("tf"), F.col("dl"), idf_sum, st.avgdl).alias("score"))
         return _topk(sc, k)
 
     def suggest(self, prefix: str, n: int = 10) -> DataFrame:

@@ -41,6 +41,7 @@ import numpy as np
 import pandas as pd
 
 from ..codec import split_blocks
+from ..fields import FIELD_SEP, FieldSpec, fdl_col, normalize_fields
 from .docids import assign_doc_ids
 from . import manifest as manifest_mod
 from .manifest import Manifest, ManifestStore, SegmentInfo
@@ -58,6 +59,17 @@ INVERT_SCHEMA = (
     "doc_id long, repo string, path string, commit string, lang string, "
     "length int, norm int, sha256 string"
 )
+
+
+def invert_schema(field_specs: Optional[List[FieldSpec]]) -> str:
+    """Chamber output schema; multi-field builds add one per-field
+    doc-length column (fdl_<name>) to the doc-meta rows — the FieldInfos
+    per-field stats ride these (docCount(field), sumTotalTermFreq(field))."""
+    if not field_specs:
+        return INVERT_SCHEMA
+    return INVERT_SCHEMA + ", " + ", ".join(
+        f"{fdl_col(fs.name)} int" for fs in field_specs
+    )
 
 CHUNK_BITS = 13  # 8192-doc chunks: the unit of mega-term splitting
 BLOCK = 128
@@ -124,7 +136,8 @@ def _pack_partition(batches: Iterator[pd.DataFrame], with_positions: bool) -> It
 
 
 def _make_invert_fn(analyzer: str, norms: str, with_positions: bool,
-                    flush_tokens: int = FLUSH_TOKENS):
+                    flush_tokens: int = FLUSH_TOKENS,
+                    field_specs: Optional[List[FieldSpec]] = None):
     """Per-partition fused analyze+invert ("DWPT chamber",
     DocumentsWriterPerThread / TermsHashPerField.add:
     index/DefaultIndexingChain.java:763-869):
@@ -141,10 +154,10 @@ def _make_invert_fn(analyzer: str, norms: str, with_positions: bool,
     Memory: the chamber flushes whenever `flush_tokens` tokens are
     buffered (flush-by-RAM analog, FlushByRamOrCountsPolicy.java:58).
     """
-    from ..analysis import invert_tokens, simple_analyze
+    from ..analysis import analyze_field, invert_tokens, simple_analyze
     from ..smallfloat import int_to_byte4
 
-    all_cols = [c.strip().split()[0] for c in INVERT_SCHEMA.split(",")]
+    all_cols = [c.strip().split()[0] for c in invert_schema(field_specs).split(",")]
 
     def pad(df: pd.DataFrame) -> pd.DataFrame:
         for c in all_cols:
@@ -178,6 +191,61 @@ def _make_invert_fn(analyzer: str, norms: str, with_positions: bool,
             return pad(pd.DataFrame(rows)) if rows else None
 
         for pdf in batches:
+            if field_specs is not None:
+                # multi-field chamber: invert each field with its own
+                # analyzer; term keys are (field \x1f term); the norm
+                # byte per posting is THAT FIELD's length norm; per-doc
+                # per-field lengths land in fdl_* doc-meta columns
+                doc_rows = {k: [] for k in ("doc_id", "repo", "path", "commit",
+                                            "lang", "length", "norm", "sha256")}
+                for fs in field_specs:
+                    doc_rows[fdl_col(fs.name)] = []
+                src_iters = [pdf[fs.source_col] for fs in field_specs]
+                for doc_id, repo, path, commit, lang, *field_vals in zip(
+                    pdf["doc_id"], pdf["repo"], pdf["path"], pdf["commit"],
+                    pdf["lang"], *src_iters,
+                ):
+                    d = int(doc_id)
+                    total_len = 0
+                    texts = []
+                    for fs, val in zip(field_specs, field_vals):
+                        text = val or ""
+                        texts.append(text)
+                        per_doc, length = analyze_field(text, fs.analyzer)
+                        nb = int_to_byte4(length) if norms == "byte" else length
+                        pre = fs.name + FIELD_SEP
+                        for term, plist in per_doc.items():
+                            slot = acc.get(pre + term)
+                            if slot is None:
+                                acc[pre + term] = slot = ([], [], [], [])
+                            slot[0].append(d)
+                            slot[1].append(len(plist))
+                            slot[2].append(nb)
+                            if with_positions:
+                                slot[3].append(plist)
+                        total_len += length
+                        doc_rows[fdl_col(fs.name)].append(length)
+                    n_buffered += total_len
+                    doc_rows["doc_id"].append(d)
+                    doc_rows["repo"].append(repo)
+                    doc_rows["path"].append(path)
+                    doc_rows["commit"].append(commit)
+                    doc_rows["lang"].append(lang)
+                    doc_rows["length"].append(total_len)
+                    doc_rows["norm"].append(
+                        int_to_byte4(total_len) if norms == "byte" else total_len
+                    )
+                    doc_rows["sha256"].append(
+                        hashlib.sha256(FIELD_SEP.join(texts).encode()).hexdigest()
+                    )
+                df_docs = pd.DataFrame(doc_rows)
+                df_docs.insert(0, "kind", "doc")
+                yield pad(df_docs)
+                if n_buffered >= flush_tokens:
+                    out = flush()
+                    if out is not None:
+                        yield out
+                continue
             doc_rows = {k: [] for k in ("doc_id", "repo", "path", "commit",
                                         "lang", "length", "norm", "sha256")}
             for doc_id, repo, path, commit, lang, content in zip(
@@ -242,15 +310,24 @@ def build_segment(
     positions: bool = True,
     num_partitions: Optional[int] = None,
     assume_sorted: bool = False,
+    fields=None,
 ) -> dict:
     """Build one segment from a corpus batch. Returns counters.
 
     norms='byte': Lucene intToByte4-quantized field length (bit-parity
     with the reference); norms='exact': raw field length stored instead
     (used by the SQL-oracle-checked query surface).
+
+    fields: optional multi-field spec ([(name, source_col[, analyzer])]
+    or {name: col} or [FieldSpec]); when given, each field is inverted
+    under its own analyzer into (field \\x1f term) keys with per-field
+    norms/stats (Document-of-fields model, document/Document.java:41);
+    `analyzer` is ignored. All segments of one index must agree on the
+    field layout.
     """
     from pyspark.sql import functions as F
 
+    field_specs = normalize_fields(fields) if fields is not None else None
     parts = num_partitions or spark.sparkContext.defaultParallelism
     t0 = time.time()
     phases = {}
@@ -262,7 +339,8 @@ def build_segment(
     phases["ids"] = round(time.time() - t0, 2)
 
     inverted = with_ids.mapInPandas(
-        _make_invert_fn(analyzer, norms, positions), schema=INVERT_SCHEMA
+        _make_invert_fn(analyzer, norms, positions, field_specs=field_specs),
+        schema=invert_schema(field_specs),
     )
 
     # ONE pass, ONE write: the chamber output lands partitioned by kind
@@ -283,14 +361,30 @@ def build_segment(
     phases["stats"] = round(time.time() - tp, 2)
 
     meta = spark.read.parquet(manifest_mod.doc_meta_path(seg_dir))
-    counters_row = meta.agg(
-        F.count(F.lit(1)).alias("doc_count"), F.sum("length").alias("sum_dl")
-    ).collect()[0]
+    aggs = [F.count(F.lit(1)).alias("doc_count"), F.sum("length").alias("sum_dl")]
+    if field_specs:
+        for fs in field_specs:
+            c = fdl_col(fs.name)
+            aggs.append(F.sum(c).alias(f"dl_{fs.name}"))
+            # docCount(field) = docs with >=1 token in the field
+            aggs.append(
+                F.sum((F.col(c) > 0).cast("long")).alias(f"dc_{fs.name}")
+            )
+    counters_row = meta.agg(*aggs).collect()[0]
 
     # per-row integrity: recompute sha with Spark's JVM-side sha2 over the
     # source and compare against the python-hashlib values in doc_meta
+    if field_specs:
+        parts_expr = []
+        for i, fs in enumerate(field_specs):
+            if i:
+                parts_expr.append(F.lit(FIELD_SEP))
+            parts_expr.append(F.coalesce(F.col(fs.source_col), F.lit("")))
+        sha_src_col = F.concat(*parts_expr) if len(parts_expr) > 1 else parts_expr[0]
+    else:
+        sha_src_col = F.col("content")
     src_sha = corpus_df.select(
-        "repo", "path", F.sha2(F.col("content"), 256).alias("sha_jvm")
+        "repo", "path", F.sha2(sha_src_col, 256).alias("sha_jvm")
     )
     tp = time.time()
     mismatches = (
@@ -308,7 +402,7 @@ def build_segment(
         for dp, _, fns in os.walk(seg_dir)
         for fn in fns
     )
-    return {
+    out = {
         "doc_count": int(counters_row["doc_count"]),
         "sum_dl": int(counters_row["sum_dl"] or 0),
         "size_bytes": size_bytes,
@@ -316,6 +410,13 @@ def build_segment(
         "sha_mismatches": int(mismatches),
         "phases": phases,
     }
+    if field_specs:
+        out["field_stats"] = {
+            fs.name: [int(counters_row[f"dc_{fs.name}"] or 0),
+                      int(counters_row[f"dl_{fs.name}"] or 0)]
+            for fs in field_specs
+        }
+    return out
 
 
 def build_index(
@@ -327,6 +428,7 @@ def build_index(
     positions: bool = True,
     fail_after_batch: Optional[int] = None,
     assume_sorted: bool = False,
+    fields=None,
 ) -> Manifest:
     """Log-structured index build: one segment per batch, manifest commit
     after each — resumable at batch granularity (north rule). Completed
@@ -351,7 +453,7 @@ def build_index(
         counters = build_segment(
             spark, df, seg_dir, doc_base=doc_base,
             analyzer=analyzer, norms=norms, positions=positions,
-            assume_sorted=assume_sorted,
+            assume_sorted=assume_sorted, fields=fields,
         )
         manifest.next_doc_id = doc_base + counters["doc_count"]
         manifest.segments.append(
@@ -362,6 +464,7 @@ def build_index(
                 sum_dl=counters["sum_dl"],
                 size_bytes=counters["size_bytes"],
                 source_batch=batch_id,
+                field_stats=counters.get("field_stats"),
             )
         )
         manifest = store.commit(

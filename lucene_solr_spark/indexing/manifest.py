@@ -40,6 +40,9 @@ class SegmentInfo:
     size_bytes: int
     source_batch: str
     n_deleted: int = 0
+    # multi-field builds: {field: [docCount, sumTotalTermFreq]} — the
+    # FieldInfos/CollectionStatistics analog (per-field BM25 stats)
+    field_stats: Optional[Dict[str, List[int]]] = None
 
 
 @dataclass

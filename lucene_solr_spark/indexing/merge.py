@@ -187,10 +187,20 @@ def run_merge(spark, store: ManifestStore, manifest: Manifest,
     if deletes is not None:
         meta = meta.join(deletes, "doc_id", "left_anti")
     meta.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_meta.parquet"))
-    live_row = (
-        spark.read.parquet(os.path.join(out_dir, "doc_meta.parquet"))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("length").alias("dl"))
-        .collect()[0]
+    meta_out = spark.read.parquet(os.path.join(out_dir, "doc_meta.parquet"))
+    # multi-field indexes: recompute per-field (docCount, sum_dl) over
+    # the LIVE docs — purged docs drop out of the field stats here,
+    # exactly when Lucene's FieldInfos stats shed deletions
+    field_names = [c[len("fdl_"):] for c in meta_out.columns if c.startswith("fdl_")]
+    aggs = [F.count(F.lit(1)).alias("n"), F.sum("length").alias("dl")]
+    for fn in field_names:
+        aggs.append(F.sum(f"fdl_{fn}").alias(f"dl_{fn}"))
+        aggs.append(F.sum((F.col(f"fdl_{fn}") > 0).cast("long")).alias(f"dc_{fn}"))
+    live_row = meta_out.agg(*aggs).collect()[0]
+    merged_field_stats = (
+        {fn: [int(live_row[f"dc_{fn}"] or 0), int(live_row[f"dl_{fn}"] or 0)]
+         for fn in field_names}
+        if field_names else None
     )
 
     size_bytes = sum(
@@ -205,6 +215,7 @@ def run_merge(spark, store: ManifestStore, manifest: Manifest,
         sum_dl=int(live_row["dl"] or 0),
         size_bytes=size_bytes,
         source_batch=f"merge:{'+'.join(s.source_batch for s in inputs)}",
+        field_stats=merged_field_stats,
     )
     in_names = {s.name for s in inputs}
     manifest.segments = [s for s in manifest.segments if s.name not in in_names]

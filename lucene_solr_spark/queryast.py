@@ -36,7 +36,12 @@ class Query:
 
 @dataclass(frozen=True)
 class TermQuery(Query):
+    """field=None targets the index's default (single) field; a named
+    field scopes the term to that field's postings/norms/stats
+    (index/Term.java — a term IS a (field, text) pair)."""
+
     term: str = ""
+    field: Optional[str] = None
 
 
 @dataclass(frozen=True)
@@ -44,6 +49,7 @@ class TermInSetQuery(Query):
     """Constant-score disjunction over N terms (TermInSetQuery.java:68)."""
 
     terms: Tuple[str, ...] = ()
+    field: Optional[str] = None
 
 
 @dataclass(frozen=True)
@@ -52,12 +58,14 @@ class SynonymQuery(Query):
     (SynonymQuery.java:47 uses max docFreq / max totalTermFreq)."""
 
     terms: Tuple[str, ...] = ()
+    field: Optional[str] = None
 
 
 @dataclass(frozen=True)
 class PhraseQuery(Query):
     terms: Tuple[str, ...] = ()
     slop: int = 0
+    field: Optional[str] = None
 
 
 @dataclass(frozen=True)
@@ -91,7 +99,20 @@ class MatchNoDocsQuery(Query):
 @dataclass(frozen=True)
 class MultiTermQuery(Query):
     """Term-dictionary-expanding query; kind in
-    {prefix, wildcard, regexp, fuzzy, range}."""
+    {prefix, wildcard, regexp, fuzzy, range}.
+
+    rewrite_method (MultiTermQuery.java:94,114,116):
+      constant_score   — expand to TermInSetQuery, all matches score the
+                         boost (CONSTANT_SCORE_REWRITE, the default)
+      scoring_boolean  — expand to SHOULD TermQuery per matched term,
+                         each scored with its own idf
+                         (SCORING_BOOLEAN_REWRITE); fuzzy terms carry
+                         the FuzzyTermsEnum similarity boost
+                         1 - editDistance/min(|term|,|pattern|)
+      top_terms_N      — scoring_boolean restricted to the N most
+                         competitive terms (TopTermsRewrite size cap;
+                         competitiveness = boost desc, then term asc)
+    """
 
     kind: str = "prefix"
     pattern: str = ""
@@ -99,6 +120,8 @@ class MultiTermQuery(Query):
     include_lower: bool = True
     include_upper: bool = True
     max_edits: int = 2  # for fuzzy
+    field: Optional[str] = None
+    rewrite_method: str = "constant_score"
 
     def matcher(self):
         """Return a predicate str -> bool over dictionary terms."""
@@ -134,6 +157,17 @@ class MultiTermQuery(Query):
             p, n = self.pattern, self.max_edits
             return lambda t: levenshtein_within(p, t, n)
         raise ValueError(self.kind)
+
+
+def levenshtein_distance(a: str, b: str) -> int:
+    """Full edit distance (for the FuzzyTermsEnum similarity boost)."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+        prev = cur
+    return prev[-1]
 
 
 def levenshtein_within(a: str, b: str, max_edits: int) -> bool:
@@ -179,7 +213,7 @@ def _rewrite_once(q: Query, dictionary_terms) -> Query:
         matched = tuple(sorted(t for t in dictionary_terms if pred(t)))
         if not matched:
             return MatchNoDocsQuery(boost=q.boost)
-        return TermInSetQuery(boost=q.boost, terms=matched)
+        return TermInSetQuery(boost=q.boost, terms=matched, field=q.field)
     if isinstance(q, BooleanQuery):
         new_clauses: List[BooleanClause] = []
         for c in q.clauses:
@@ -204,6 +238,37 @@ def _rewrite_once(q: Query, dictionary_terms) -> Query:
         return DisjunctionMaxQuery(
             boost=q.boost,
             disjuncts=tuple(_rewrite_once(d, dictionary_terms) for d in q.disjuncts),
+            tie_breaker=q.tie_breaker,
+        )
+    return q
+
+
+def with_field(q: Query, field: Optional[str]) -> Query:
+    """Recursively scope every unscoped leaf to `field` — the
+    `field:(a b)` group syntax (QueryParser.jj:289 field-prefixed
+    Clause). Leaves that already carry a field keep it (inner override
+    wins, like the reference parser's nested field switches)."""
+    if field is None:
+        return q
+    if isinstance(q, (TermQuery, TermInSetQuery, SynonymQuery, PhraseQuery,
+                      MultiTermQuery)):
+        if q.field is None:
+            from dataclasses import replace
+
+            return replace(q, field=field)
+        return q
+    if isinstance(q, BooleanQuery):
+        return BooleanQuery(
+            boost=q.boost,
+            clauses=tuple(
+                BooleanClause(c.occur, with_field(c.query, field)) for c in q.clauses
+            ),
+            min_should_match=q.min_should_match,
+        )
+    if isinstance(q, DisjunctionMaxQuery):
+        return DisjunctionMaxQuery(
+            boost=q.boost,
+            disjuncts=tuple(with_field(d, field) for d in q.disjuncts),
             tie_breaker=q.tie_breaker,
         )
     return q
@@ -281,7 +346,7 @@ def parse_query(qstring: str, analyzer=None) -> Query:
             return m.group(1), float(m.group(2))
         return text, 1.0
 
-    def parse_atom() -> Optional[Tuple[Occur, Query]]:
+    def parse_atom(field: Optional[str] = None) -> Optional[Tuple[Occur, Query]]:
         kind, text = peek()
         occur = Occur.SHOULD
         if kind in ("PLUS", "MINUS", "NOT"):
@@ -290,6 +355,22 @@ def parse_query(qstring: str, analyzer=None) -> Query:
             kind, text = peek()
         if kind is None:
             return None
+        # `field:` prefix on a TERM token (QueryParser.jj:289): applies
+        # to the rest of the token, or — when the token is just the
+        # prefix — to the following phrase/range/regexp/group atom
+        if kind == "TERM" and field is None:
+            m = re.match(r"^([A-Za-z_][A-Za-z0-9_]*):(.*)$", text)
+            if m:
+                advance()
+                fld, rest = m.group(1), m.group(2)
+                if rest:
+                    tokens.insert(pos[0], ("TERM", rest))
+                nxt = parse_atom(field=fld)
+                if nxt is None:
+                    return None
+                # occur prefix parsed here wins over the inner default
+                inner_occur = nxt[0] if occur == Occur.SHOULD else occur
+                return inner_occur, nxt[1]
         if kind == "LPAREN":
             advance()
             inner = parse_or()
@@ -298,7 +379,7 @@ def parse_query(qstring: str, analyzer=None) -> Query:
                 advance()
             if inner is None:
                 return None
-            return occur, inner
+            return occur, with_field(inner, field)
         advance()
         if kind == "PHRASE":
             m = re.match(r'"([^"]*)"(?:~(\d+))?', text)
@@ -307,10 +388,10 @@ def parse_query(qstring: str, analyzer=None) -> Query:
             if not terms:
                 return None
             if len(terms) == 1:
-                return occur, TermQuery(term=terms[0])
-            return occur, PhraseQuery(terms=tuple(terms), slop=slop)
+                return occur, TermQuery(term=terms[0], field=field)
+            return occur, PhraseQuery(terms=tuple(terms), slop=slop, field=field)
         if kind == "REGEXP":
-            return occur, MultiTermQuery(kind="regexp", pattern=text[1:-1])
+            return occur, MultiTermQuery(kind="regexp", pattern=text[1:-1], field=field)
         if kind == "RANGE":
             inc_lo = text[0] == "["
             inc_hi = text[-1] == "]"
@@ -323,6 +404,7 @@ def parse_query(qstring: str, analyzer=None) -> Query:
                 upper=hi,
                 include_lower=inc_lo,
                 include_upper=inc_hi,
+                field=field,
             )
         # TERM: may carry ^boost, ~fuzzy, wildcard chars
         text, boost = parse_boost_suffix(text)
@@ -333,18 +415,21 @@ def parse_query(qstring: str, analyzer=None) -> Query:
             toks = analyze_one(base)
             if not toks:
                 return None
-            return occur, MultiTermQuery(kind="fuzzy", pattern=toks[0], max_edits=edits, boost=boost)
+            return occur, MultiTermQuery(kind="fuzzy", pattern=toks[0], max_edits=edits,
+                                         boost=boost, field=field)
         if "*" in text or "?" in text:
             low = text.lower()
             if low.endswith("*") and "*" not in low[:-1] and "?" not in low:
-                return occur, MultiTermQuery(kind="prefix", pattern=low[:-1], boost=boost)
-            return occur, MultiTermQuery(kind="wildcard", pattern=low, boost=boost)
+                return occur, MultiTermQuery(kind="prefix", pattern=low[:-1],
+                                             boost=boost, field=field)
+            return occur, MultiTermQuery(kind="wildcard", pattern=low, boost=boost,
+                                         field=field)
         toks = analyze_one(text)
         if not toks:
             return None  # stopword clause: analyzes to nothing
         if len(toks) == 1:
-            return occur, TermQuery(term=toks[0], boost=boost)
-        return occur, PhraseQuery(terms=tuple(toks), boost=boost)
+            return occur, TermQuery(term=toks[0], boost=boost, field=field)
+        return occur, PhraseQuery(terms=tuple(toks), boost=boost, field=field)
 
     def parse_and() -> Optional[Query]:
         clauses: List[Tuple[Occur, Query]] = []

@@ -47,6 +47,7 @@ import pandas as pd
 
 from .. import bm25
 from ..codec import decode_block, decode_block_positions
+from ..fields import FIELD_SEP, split_term_key, term_key
 from ..smallfloat import LENGTH_TABLE
 from ..indexing.deletes import delete_generations, deleted_docs_df
 from ..indexing.manifest import ManifestStore, doc_meta_path, postings_path
@@ -92,6 +93,21 @@ class IndexReader:
         # "docFreq ignores deletions") until a merge purges them
         self.has_deletes = bool(delete_generations(index_dir))
         self.deletes = deleted_docs_df(spark, index_dir) if self.has_deletes else None
+        # per-field CollectionStatistics (FieldInfos analog): summed
+        # across segments from the manifest — no data scan needed
+        self.field_stats: Dict[str, Tuple[int, int]] = {}
+        for s in self.manifest.segments:
+            for f, v in (s.field_stats or {}).items():
+                dc, dl = self.field_stats.get(f, (0, 0))
+                self.field_stats[f] = (dc + int(v[0]), dl + int(v[1]))
+
+    def collection_stats(self, field: Optional[str]) -> Tuple[int, int]:
+        """(docCount, sumTotalTermFreq) for a field — the BM25 N/avgdl
+        inputs (CollectionStatistics). field=None: whole-index totals
+        (single-field indexes)."""
+        if field is None:
+            return self.doc_count, self.sum_dl
+        return self.field_stats.get(field, (0, 0))
 
     def live(self, df):
         """Apply the liveDocs filter (anti-join on tombstones)."""
@@ -117,10 +133,19 @@ class IndexReader:
     def expand(self, q: MultiTermQuery, max_terms: int = 4096) -> List[str]:
         """Expand a multi-term query against the distinct-terms table
         with the predicate pushed into Spark (BlockTree intersect analog:
-        the scan prunes on the term column's parquet min/max stats)."""
+        the scan prunes on the term column's parquet min/max stats).
+        Field-scoped queries pre-filter to the field's key-prefix range
+        (still parquet-prunable — keys sort by field first) and match
+        the pattern against the bare-term suffix; returns BARE terms."""
         from pyspark.sql import functions as F
 
-        t = F.col("term")
+        pre = "" if q.field is None else q.field + FIELD_SEP
+        src = self.stats
+        if pre:
+            src = src.where(F.col("term").startswith(pre))
+            t = F.expr(f"substring(term, {len(pre) + 1})")
+        else:
+            t = F.col("term")
         if q.kind == "prefix":
             cond = t.startswith(q.pattern)
         elif q.kind == "wildcard":
@@ -144,7 +169,8 @@ class IndexReader:
         else:
             raise ValueError(q.kind)
         rows = (
-            self.stats.select("term").where(cond).distinct().limit(max_terms).collect()
+            src.where(cond).select(t.alias("term")).distinct()
+            .limit(max_terms).collect()
         )
         return sorted(r["term"] for r in rows)
 
@@ -157,12 +183,16 @@ class Searcher:
     # -- weights ------------------------------------------------------------
 
     def _weights(self, terms_with_boost: List[Tuple[str, float]]):
-        """Per-term scoring constants; float32 Lucene-style or float64."""
+        """Per-term scoring constants; float32 Lucene-style or float64.
+        Terms are term-dict KEYS (possibly field-prefixed); N and avgdl
+        come from the key's field stats (per-field CollectionStatistics)."""
         stats = self.reader.term_stats(sorted({t for t, _ in terms_with_boost}))
-        n = self.reader.doc_count
-        sttf = self.reader.sum_dl
         out = {}
         for term, boost in terms_with_boost:
+            fld, _ = split_term_key(term)
+            n, sttf = self.reader.collection_stats(fld)
+            if n <= 0:
+                n, sttf = 1, 1  # unknown field: no postings exist anyway
             df, _ = stats.get(term, (0, 0))
             if self.precision == "float32":
                 tw = bm25.make_term_weight(term, df, n, sttf, boost)
@@ -262,9 +292,10 @@ class Searcher:
         from pyspark.sql import functions as F
 
         spark = self.reader.spark
-        terms = list(q.terms)
-        n = self.reader.doc_count
-        sttf = self.reader.sum_dl
+        terms = [term_key(q.field, t) for t in q.terms]
+        n, sttf = self.reader.collection_stats(q.field)
+        if n <= 0:
+            return spark.createDataFrame([], "clause_id int, doc_id long, score double")
         stats = self.reader.term_stats(terms)
         if any(stats.get(t, (0, 0))[0] == 0 for t in terms):
             return spark.createDataFrame([], "clause_id int, doc_id long, score double")
@@ -375,11 +406,11 @@ class Searcher:
                 "doc_id", F.lit(float(np.float32(b)) if self.precision == "float32" else float(b)).alias("score")
             )
         if isinstance(q, TermQuery):
-            df = self._score_terms([(0, q.term, b)])
+            df = self._score_terms([(0, term_key(q.field, q.term), b)])
             return df.select("doc_id", "score")
         if isinstance(q, TermInSetQuery):
             const = float(np.float32(b)) if self.precision == "float32" else float(b)
-            df = self._score_terms([(0, t, 1.0) for t in q.terms])
+            df = self._score_terms([(0, term_key(q.field, t), 1.0) for t in q.terms])
             return df.select("doc_id").distinct().select(
                 "doc_id", F.lit(const).alias("score")
             )
@@ -412,11 +443,12 @@ class Searcher:
         from pyspark.sql import functions as F
 
         spark = self.reader.spark
-        stats = self.reader.term_stats(list(q.terms))
-        df_blend = max((stats.get(t, (0, 0))[0] for t in q.terms), default=0)
-        if df_blend == 0:
+        keys = [term_key(q.field, t) for t in q.terms]
+        stats = self.reader.term_stats(keys)
+        df_blend = max((stats.get(t, (0, 0))[0] for t in keys), default=0)
+        n, sttf = self.reader.collection_stats(q.field)
+        if df_blend == 0 or n <= 0:
             return spark.createDataFrame([], "doc_id long, score double")
-        n, sttf = self.reader.doc_count, self.reader.sum_dl
         precision = self.precision
         norms_mode = self.reader.norms
         if precision == "float32":
@@ -447,7 +479,7 @@ class Searcher:
                     )
 
         per_doc = (
-            self.reader.blocks.where(F.col("term").isin(list(q.terms)))
+            self.reader.blocks.where(F.col("term").isin(keys))
             .select("term", "blob")
             .mapInPandas(decode_tf, "doc_id long, tf long, norm int")
             .groupBy("doc_id")
@@ -548,7 +580,8 @@ class Searcher:
         for i, c in enumerate(q.clauses):
             occur_by_cid[i] = c.occur
             if isinstance(c.query, TermQuery):
-                flat_terms.append((i, c.query.term, boost * c.query.boost if c.occur != Occur.FILTER else 1.0))
+                flat_terms.append((i, term_key(c.query.field, c.query.term),
+                                   boost * c.query.boost if c.occur != Occur.FILTER else 1.0))
             else:
                 sub = self._eval(c.query, boost if c.occur != Occur.FILTER else 1.0)
                 parts.append(
@@ -970,13 +1003,14 @@ class Searcher:
         """Terms of a pure term/OR-of-terms scoring query, else None."""
         q = rewrite(q, None)
         if isinstance(q, TermQuery):
-            return [(q.term, q.boost)]
+            return [(term_key(q.field, q.term), q.boost)]
         if isinstance(q, BooleanQuery) and q.min_should_match <= 1 and q.clauses:
             out = []
             for c in q.clauses:
                 if c.occur != Occur.SHOULD or not isinstance(c.query, TermQuery):
                     return None
-                out.append((c.query.term, c.query.boost * q.boost))
+                out.append((term_key(c.query.field, c.query.term),
+                            c.query.boost * q.boost))
             return out
         return None
 
@@ -1025,12 +1059,43 @@ class Searcher:
 
     def _expand_multiterm(self, q: Query) -> Query:
         """Replace MultiTermQuery nodes via Spark-side dictionary scans
-        (CONSTANT_SCORE rewrite -> TermInSetQuery)."""
+        (MultiTermQuery.java rewrite methods):
+        constant_score -> TermInSetQuery; scoring_boolean -> SHOULD
+        TermQuery per term, each with its own idf (fuzzy terms carry the
+        similarity boost); top_terms_N -> scoring_boolean capped to the
+        N most competitive terms (boost desc, term asc)."""
         if isinstance(q, MultiTermQuery):
             terms = self.reader.expand(q)
             if not terms:
                 return MatchNoDocsQuery(boost=q.boost)
-            return TermInSetQuery(boost=q.boost, terms=tuple(terms))
+            method = q.rewrite_method
+            if method == "constant_score":
+                return TermInSetQuery(boost=q.boost, terms=tuple(terms), field=q.field)
+            if q.kind == "fuzzy":
+                from ..queryast import levenshtein_distance
+
+                boosts = {
+                    t: 1.0 - levenshtein_distance(q.pattern, t)
+                    / max(1, min(len(t), len(q.pattern)))
+                    for t in terms
+                }
+            else:
+                boosts = {t: 1.0 for t in terms}
+            if method.startswith("top_terms_"):
+                n = int(method[len("top_terms_"):])
+                terms = sorted(terms, key=lambda t: (-boosts[t], t))[:n]
+            elif method != "scoring_boolean":
+                raise ValueError(f"unknown rewrite_method: {method}")
+            return BooleanQuery(
+                boost=q.boost,
+                clauses=tuple(
+                    BooleanClause(
+                        Occur.SHOULD,
+                        TermQuery(term=t, field=q.field, boost=boosts[t]),
+                    )
+                    for t in sorted(terms)
+                ),
+            )
         if isinstance(q, BooleanQuery):
             return BooleanQuery(
                 boost=q.boost,
