@@ -34,7 +34,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_BUILD_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))
+# 200k docs so the measured throughput reflects steady state rather
+# than the ~3-4 s fixed first-job overhead (JVM + 32 python workers)
+N_BUILD_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
 
 
 def main() -> None:
@@ -74,6 +76,11 @@ def main() -> None:
     corpus = (spark.read
               .option("maxPartitionBytes", str(max_file + (4 << 20)))
               .parquet(corpus_path))
+    # warm up executor JVM codegen + the Python worker pool so the
+    # timed build measures the engine, not one-time process spinup
+    # (the reference's luceneutil benchmarks discard warmup too)
+    corpus.limit(256).mapInPandas(lambda it: it, corpus.schema).write \
+        .format("noop").mode("overwrite").save()
     t0 = time.time()
     build_index(spark, idx_dir, [("bench", corpus)], analyzer="standard",
                 norms="byte", assume_sorted=True)

@@ -133,6 +133,9 @@ def standard_field_length(text: str) -> int:
 
 
 _SIMPLE_SPLIT_RE = re.compile(r"[^a-z0-9]+")
+# findall-form of the simple chain (identical token stream: the nonempty
+# runs the split produces) — used by the vectorized chamber path
+_SIMPLE_TOKEN_RE = re.compile(r"[a-z0-9]+")
 
 
 def simple_analyze(text: str, stop: bool = False) -> List[str]:

@@ -35,7 +35,7 @@ from __future__ import annotations
 import hashlib
 import os
 import time
-from typing import Iterator, List, Optional
+from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -154,8 +154,11 @@ def _make_invert_fn(analyzer: str, norms: str, with_positions: bool,
     Memory: the chamber flushes whenever `flush_tokens` tokens are
     buffered (flush-by-RAM analog, FlushByRamOrCountsPolicy.java:58).
     """
-    from ..analysis import analyze_field, invert_tokens, simple_analyze
-    from ..smallfloat import int_to_byte4
+    from ..analysis import (
+        ENGLISH_STOP_WORDS, MAX_TOKEN_LENGTH, _SIMPLE_TOKEN_RE, _TOKEN_RE,
+        analyze_field, invert_tokens,
+    )
+    from ..smallfloat import int_to_byte4, int_to_byte4_np
 
     all_cols = [c.strip().split()[0] for c in invert_schema(field_specs).split(",")]
 
@@ -167,10 +170,16 @@ def _make_invert_fn(analyzer: str, norms: str, with_positions: bool,
 
     def invert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: dict = {}
+        # vectorized single-field buffers: flat token/doc/pos/norm arrays
+        vbufs: List[Tuple[np.ndarray, np.ndarray, Optional[np.ndarray], np.ndarray]] = []
         n_buffered = 0
 
         def flush() -> pd.DataFrame:
-            nonlocal acc, n_buffered
+            """Group the buffered token arrays into per-(term, doc)
+            postings and FOR-128 block rows: factorize + ONE lexsort +
+            numpy run-length encoding — the only Python loop is per
+            DISTINCT TERM (split_blocks), same as _pack_partition."""
+            nonlocal acc, vbufs, n_buffered
             rows: List[dict] = []
             for term, (docs, tfs, nbs, plist) in acc.items():
                 p = None
@@ -186,7 +195,44 @@ def _make_invert_fn(analyzer: str, norms: str, with_positions: bool,
                     rows.append({"kind": "blk", "term": term,
                                  **{k: blk[k] for k in ("n", "min_doc", "max_doc",
                                                         "max_tf", "sum_tf", "min_norm", "blob")}})
+            if vbufs:
+                T = np.concatenate([b[0] for b in vbufs])
+                D = np.concatenate([b[1] for b in vbufs])
+                P = (np.concatenate([b[2] for b in vbufs])
+                     if with_positions else None)
+                NB = np.concatenate([b[3] for b in vbufs])
+                codes, uniques = pd.factorize(pd.Series(T), sort=False)
+                order = (np.lexsort((P, D, codes)) if with_positions
+                         else np.lexsort((D, codes)))
+                Ts = codes[order]
+                Ds = D[order]
+                NBs = NB[order]
+                Ps = P[order] if with_positions else None
+                n = len(Ts)
+                term_change = np.empty(n, dtype=bool)
+                term_change[0] = True
+                term_change[1:] = Ts[1:] != Ts[:-1]
+                doc_change = np.empty(n, dtype=bool)
+                doc_change[0] = True
+                doc_change[1:] = Ds[1:] != Ds[:-1]
+                run_start = np.flatnonzero(term_change | doc_change)
+                run_end = np.append(run_start[1:], n)
+                run_tf = (run_end - run_start).astype(np.int64)
+                run_doc = Ds[run_start]
+                run_nb = NBs[run_start]
+                is_head = term_change[run_start]
+                term_first = np.flatnonzero(is_head)
+                term_last = np.append(term_first[1:], len(run_start))
+                for s, e in zip(term_first, term_last):
+                    term = uniques[Ts[run_start[s]]]
+                    p = Ps[run_start[s]: run_end[e - 1]] if with_positions else None
+                    for blk in split_blocks(run_doc[s:e], run_tf[s:e],
+                                            run_nb[s:e], run_nb[s:e], p):
+                        rows.append({"kind": "blk", "term": term,
+                                     **{k: blk[k] for k in ("n", "min_doc", "max_doc",
+                                                            "max_tf", "sum_tf", "min_norm", "blob")}})
             acc = {}
+            vbufs = []
             n_buffered = 0
             return pad(pd.DataFrame(rows)) if rows else None
 
@@ -246,47 +292,95 @@ def _make_invert_fn(analyzer: str, norms: str, with_positions: bool,
                     if out is not None:
                         yield out
                 continue
-            doc_rows = {k: [] for k in ("doc_id", "repo", "path", "commit",
-                                        "lang", "length", "norm", "sha256")}
-            for doc_id, repo, path, commit, lang, content in zip(
-                pdf["doc_id"], pdf["repo"], pdf["path"], pdf["commit"],
-                pdf["lang"], pdf["content"],
-            ):
-                text = content or ""
+            # -- single-field path, fully vectorized tokenization ------
+            # (per-Arrow-batch pandas str ops + numpy; no per-token and
+            # no per-doc Python in the hot path — the input_hint's
+            # "vectorized pandas/Arrow UDFs" contract). "standard" docs
+            # whose lower() changes string length (rare Unicode) fall
+            # back to the reference per-doc path for exact parity.
+            contents = pdf["content"].fillna("").astype(str)
+            doc_ids_arr = pdf["doc_id"].to_numpy(dtype=np.int64)
+            ndocs = len(pdf)
+            low = contents.str.lower()
+            if analyzer == "standard":
+                fb_mask = (low.str.len() != contents.str.len()).to_numpy()
+                tok_lists = low.str.findall(_TOKEN_RE)
+            else:
+                # "simple" (no stop) / "simple_stop": the SQL-replicable
+                # chain — lets DuckDB verify the SEGMENT engine
+                fb_mask = np.zeros(ndocs, dtype=bool)
+                tok_lists = low.str.findall(_SIMPLE_TOKEN_RE)
+            counts = np.fromiter((len(x) for x in tok_lists),
+                                 dtype=np.int64, count=ndocs)
+            counts[fb_mask] = 0  # fallback docs handled separately
+            total = int(counts.sum())
+            flat = np.empty(total, dtype=object)
+            k = 0
+            for i, lst in enumerate(tok_lists):
+                if fb_mask[i]:
+                    continue
+                flat[k:k + len(lst)] = lst
+                k += len(lst)
+            docloc = np.repeat(np.arange(ndocs), counts)
+            offs = np.cumsum(counts) - counts
+            pre_pos = np.arange(total, dtype=np.int64) - np.repeat(offs, counts)
+            tok_s = pd.Series(flat, dtype=object)
+            if analyzer in ("standard", "simple_stop"):
+                keep = ~tok_s.isin(ENGLISH_STOP_WORDS).to_numpy()
+            else:
+                keep = np.ones(total, dtype=bool)
+            if analyzer == "standard" and total:
+                keep &= (tok_s.str.len() <= MAX_TOKEN_LENGTH).to_numpy()
+            kept_doc = docloc[keep]
+            lengths = np.bincount(kept_doc, minlength=ndocs).astype(np.int64)
+            if with_positions:
                 if analyzer == "standard":
-                    per_doc, length = invert_tokens(text)
+                    # pre-filter positions: stop/overlong leave gaps
+                    kept_pos = pre_pos[keep]
                 else:
-                    # "simple" (no stop) / "simple_stop" (33-word stop
-                    # set): the SQL-replicable chain — lets the DuckDB
-                    # oracle verify the SEGMENT engine end to end
-                    per_doc = {}
-                    toks = simple_analyze(text, stop=(analyzer == "simple_stop"))
-                    for i, t in enumerate(toks):
-                        per_doc.setdefault(t, []).append(i)
-                    length = len(toks)
-                nb = int_to_byte4(length) if norms == "byte" else length
-                d = int(doc_id)
+                    # simple chain: positions compacted POST-filter
+                    koffs = np.cumsum(lengths) - lengths
+                    kept_pos = (np.arange(len(kept_doc), dtype=np.int64)
+                                - koffs[kept_doc])
+            # fallback docs (exact invert_tokens parity)
+            fb_rows: List[Tuple[int, dict, int]] = []
+            for i in np.flatnonzero(fb_mask):
+                per_doc, length = invert_tokens(contents.iloc[i])
+                lengths[i] = length
+                fb_rows.append((i, per_doc, length))
+            nb_doc = (int_to_byte4_np(lengths) if norms == "byte"
+                      else lengths).astype(np.int64)
+            if len(kept_doc):
+                vbufs.append((
+                    flat[keep],
+                    doc_ids_arr[kept_doc],
+                    kept_pos if with_positions else None,
+                    nb_doc[kept_doc],
+                ))
+            for i, per_doc, length in fb_rows:
                 for term, plist in per_doc.items():
-                    slot = acc.get(term)
-                    if slot is None:
-                        acc[term] = slot = ([], [], [], [])
-                    slot[0].append(d)
-                    slot[1].append(len(plist))
-                    slot[2].append(nb)
-                    if with_positions:
-                        slot[3].append(plist)
-                n_buffered += length
-                doc_rows["doc_id"].append(d)
-                doc_rows["repo"].append(repo)
-                doc_rows["path"].append(path)
-                doc_rows["commit"].append(commit)
-                doc_rows["lang"].append(lang)
-                doc_rows["length"].append(length)
-                doc_rows["norm"].append(nb)
-                doc_rows["sha256"].append(
-                    hashlib.sha256(text.encode()).hexdigest()
-                )
-            df_docs = pd.DataFrame(doc_rows)
+                    m = len(plist)
+                    vbufs.append((
+                        np.full(m, term, dtype=object),
+                        np.full(m, doc_ids_arr[i], dtype=np.int64),
+                        np.asarray(plist, dtype=np.int64) if with_positions else None,
+                        np.full(m, nb_doc[i], dtype=np.int64),
+                    ))
+            n_buffered += int(lengths.sum())
+
+            df_docs = pd.DataFrame(
+                {
+                    "doc_id": doc_ids_arr,
+                    "repo": pdf["repo"].to_numpy(),
+                    "path": pdf["path"].to_numpy(),
+                    "commit": pdf["commit"].to_numpy(),
+                    "lang": pdf["lang"].to_numpy(),
+                    "length": lengths,
+                    "norm": nb_doc,
+                    "sha256": [hashlib.sha256(t.encode()).hexdigest()
+                               for t in contents],
+                }
+            )
             df_docs.insert(0, "kind", "doc")
             yield pad(df_docs)
             if n_buffered >= flush_tokens:
@@ -353,6 +447,7 @@ def build_segment(
 
     # two-level term stats: per-block metadata -> per-term (reads only
     # the small metadata columns back from the written postings)
+    tp = time.time()
     blocks = spark.read.parquet(manifest_mod.postings_path(seg_dir))
     term_stats = blocks.groupBy("term").agg(
         F.sum("n").alias("df"), F.sum("sum_tf").alias("ttf")

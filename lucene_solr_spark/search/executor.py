@@ -901,21 +901,27 @@ class Searcher:
             .mapInPandas(wand_partition, "clause_id int, doc_id long, score double")
         )
         # identical aggregation shape to _eval_boolean: per-clause
-        # conditional sums added in fixed clause order, then float cast
+        # conditional sums added in fixed clause order, then float cast.
+        # Single clause: every doc appears in exactly one block, so the
+        # groupBy would be an identity shuffle — go straight to the
+        # TakeOrdered (same shuffle-free plan as the exhaustive path).
         cids = sorted({cid for cid, _, _ in clause_terms})
-        aggs = [
-            F.sum(F.when(F.col("clause_id") == i, F.col("score"))).alias(f"s{i}")
-            for i in cids
-        ]
-        g = cand.groupBy("doc_id").agg(*aggs)
-        total = F.coalesce(F.col(f"s{cids[0]}"), F.lit(0.0))
-        for i in cids[1:]:
-            total = total + F.coalesce(F.col(f"s{i}"), F.lit(0.0))
-        if self.precision == "float32":
-            total = total.cast("float").cast("double")
+        if len(cids) == 1:
+            scored = cand.select("doc_id", "score")
+        else:
+            aggs = [
+                F.sum(F.when(F.col("clause_id") == i, F.col("score"))).alias(f"s{i}")
+                for i in cids
+            ]
+            g = cand.groupBy("doc_id").agg(*aggs)
+            total = F.coalesce(F.col(f"s{cids[0]}"), F.lit(0.0))
+            for i in cids[1:]:
+                total = total + F.coalesce(F.col(f"s{i}"), F.lit(0.0))
+            if self.precision == "float32":
+                total = total.cast("float").cast("double")
+            scored = g.select("doc_id", total.alias("score"))
         rows = (
-            g.select("doc_id", total.alias("score"))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
+            scored.orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
             .collect()
         )
