@@ -1251,6 +1251,76 @@ def facet_grouping_sets(spark, sf_dir):
     )
 
 
+_GEO_PTS_SQL = """
+pts AS (
+  SELECT c_custkey,
+         ((c_custkey * 37) % 18000) / 100.0 - 90.0 AS lat,
+         ((c_custkey * 91) % 36000) / 100.0 - 180.0 AS lon
+  FROM customer
+)"""
+
+
+def _geo_pts(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        (((F.col("c_custkey") * 37) % 18000) / 100.0 - 90.0).alias("lat"),
+        (((F.col("c_custkey") * 91) % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+
+
+@register("geo_distance_filter", "WITH " + _GEO_PTS_SQL + """
+SELECT c_custkey, round(dist_m, 3) AS dist_m FROM (
+  SELECT c_custkey,
+         2 * 6371008.7714 * asin(sqrt(
+             pow(sin(radians(lat - 40.7127) / 2.0), 2)
+             + cos(radians(40.7127)) * cos(radians(lat))
+               * pow(sin(radians(lon - (-74.006)) / 2.0), 2))) AS dist_m
+  FROM pts
+)
+WHERE dist_m <= 3000000
+ORDER BY round(dist_m, 3) ASC, c_custkey ASC LIMIT 20
+""")
+def geo_distance_filter(spark, sf_dir):
+    """LatLonPoint.newDistanceQuery + geodist sort (LatLonPoint.java:236,
+    SloppyMath.haversinMeters; Solr geofilt/geodist): closed-form
+    haversine column, filter + ORDER BY, all WholeStageCodegen.
+    Deterministic synthetic coordinates derived from c_custkey."""
+    from .geo import haversine_meters
+
+    pts = _geo_pts(spark, sf_dir)
+    d = pts.select(
+        "c_custkey",
+        haversine_meters(F.col("lat"), F.col("lon"), 40.7127, -74.006).alias("dist_m"),
+    )
+    return (
+        d.where(F.col("dist_m") <= 3000000)
+        .select("c_custkey", F.round("dist_m", 3).alias("dist_m"))
+        .orderBy(F.asc("dist_m"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register("geo_bbox", "WITH " + _GEO_PTS_SQL + """
+SELECT c_custkey, round(lat, 6) AS lat, round(lon, 6) AS lon
+FROM pts
+WHERE lat BETWEEN 30.0 AND 50.0 AND lon BETWEEN -90.0 AND -60.0
+ORDER BY c_custkey ASC
+""")
+def geo_bbox(spark, sf_dir):
+    """LatLonPoint.newBoxQuery (LatLonPoint.java:214): two range
+    predicates, both pushed to the scan (the BKD-tree analog at scale
+    is a Z-ordered table layout + parquet min/max pruning)."""
+    from .geo import bbox_filter
+
+    pts = _geo_pts(spark, sf_dir)
+    return (
+        pts.where(bbox_filter(F.col("lat"), F.col("lon"), 30.0, 50.0, -90.0, -60.0))
+        .select("c_custkey", F.round("lat", 6).alias("lat"), F.round("lon", 6).alias("lon"))
+        .orderBy(F.asc("c_custkey"))
+    )
+
+
 @register("set_intersect_except", """
 (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
  INTERSECT
@@ -1460,6 +1530,62 @@ def ft_span_near(spark, sf_dir):
     proximity generalizing the phrase position-join machinery
     (spans/SpanNearQuery.java:42; weights 1/(dist+1))."""
     return ft(spark, sf_dir).span_near(["hash", "join", "scan"], slop=4, k=10)
+
+
+@register("ft_suggest_infix", _ft_sql("""
+SELECT term, CAST(df AS BIGINT) AS df FROM (
+  SELECT term, count(*) AS df FROM post GROUP BY term
+)
+WHERE term LIKE '%par%' ORDER BY df DESC, term ASC LIMIT 10
+"""))
+def ft_suggest_infix(spark, sf_dir):
+    """AnalyzingInfixSuggester analog: dictionary terms containing the
+    fragment, ranked by df (weight) desc."""
+    return ft(spark, sf_dir).suggest_infix("par", n=10)
+
+
+@register("ft_passage_highlight", _ft_sql("""
+SELECT doc_id, passage, round(score, 6) AS score FROM (
+  SELECT doc_id, passage, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, passage ASC) AS rn
+  FROM (
+    SELECT t.doc_id,
+           CAST(floor((t.pos - 1) / 16.0) AS BIGINT) AS passage,
+           sum(ln(1 + ((SELECT n FROM stats) - f.df + 0.5) / (f.df + 0.5))) AS score
+    FROM postoks t JOIN dfs f USING (term)
+    WHERE t.term IN ('spark', 'vector')
+    GROUP BY t.doc_id, CAST(floor((t.pos - 1) / 16.0) AS BIGINT)
+  )
+) WHERE rn = 1
+ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10
+""", positions=True))
+def ft_passage_highlight(spark, sf_dir):
+    """UnifiedHighlighter passage scoring: fixed-width token passages,
+    passage score = sum of matched terms' idf weights, best passage per
+    doc, top-k docs (UnifiedHighlighter.java:92, PassageScorer)."""
+    return ft(spark, sf_dir).passage_highlight(["spark", "vector"],
+                                               window=16, k=10)
+
+
+@register("sql_over_index", _ft_sql("""
+SELECT term, CAST(df AS BIGINT) AS df, CAST(ttf AS BIGINT) AS ttf FROM (
+  SELECT term, count(*) AS df, sum(tf) AS ttf FROM post GROUP BY term
+)
+WHERE term LIKE 'sp%' ORDER BY df DESC, term ASC LIMIT 10
+"""))
+def sql_over_index(spark, sf_dir):
+    """Solr Parallel SQL analog (CalciteSolrDriver.java / JDBCStream):
+    the index relations registered as temp views, queried with plain
+    Spark SQL (Catalyst plays Calcite; term-dict pushdown for free)."""
+    from .sql import register_index_views
+
+    idx = _segment_index(spark, sf_dir)
+    register_index_views(spark, idx, prefix="idx")
+    return spark.sql("""
+        SELECT term, df, ttf FROM idx_term_stats
+        WHERE term LIKE 'sp%' ORDER BY df DESC, term ASC LIMIT 10
+    """)
 
 
 # ---------------------------------------------------------------------------

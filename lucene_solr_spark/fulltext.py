@@ -542,6 +542,55 @@ class FulltextIndex:
             .limit(n)
         )
 
+    def suggest_infix(self, fragment: str, n: int = 10) -> DataFrame:
+        """Infix suggester (suggest/.../analyzing/
+        AnalyzingInfixSuggester.java:106 analog): dictionary terms
+        CONTAINING the fragment anywhere, ranked by weight (document
+        frequency) desc — the index-backed infix lookup without the
+        sidecar suggest index (the term dictionary IS the lookup
+        relation; Catalyst pushes the LIKE into the scan)."""
+        return (
+            self.post.where(F.col("term").contains(fragment))
+            .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(n)
+        )
+
+    def passage_highlight(self, terms: Sequence[str], window: int = 16,
+                          k: int = 10) -> DataFrame:
+        """UnifiedHighlighter passage scoring (uhighlight/
+        UnifiedHighlighter.java:92, PassageScorer): split each doc into
+        fixed-width token passages, score a passage as the sum of the
+        matched terms' idf weights, return each matching doc's BEST
+        passage, top-k docs by that score. One aggregation + one window
+        — no per-doc work on the driver."""
+        from pyspark.sql import Window
+
+        st = self.stats
+        dfs = term_dfs(self.post, list(terms))
+        live = [t for t in terms if dfs[t] > 0]
+        if not live:
+            return self.df.sparkSession.createDataFrame(
+                [], "doc_id long, passage long, score double")
+        idf_col: Column = F.lit(0.0)
+        for t in live:
+            idf_col = F.when(F.col("term") == t, F.lit(st.idf(dfs[t]))).otherwise(idf_col)
+        occ = self.toks.where(F.col("term").isin(live)).select(
+            "doc_id",
+            F.floor((F.col("pos") - 1) / float(window)).cast("long").alias("passage"),
+            idf_col.alias("w"),
+        )
+        scored = occ.groupBy("doc_id", "passage").agg(F.sum("w").alias("score"))
+        rn = F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("passage"))
+        )
+        best = scored.withColumn("rn", rn).where(F.col("rn") == 1).drop("rn")
+        return (
+            best.select("doc_id", "passage", F.round("score", 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def highlight(self, term: str, window: int = 30) -> DataFrame:
         """Highlighter-lite (UnifiedHighlighter.java:92 analog): a
         snippet of +-window chars around the first occurrence, for

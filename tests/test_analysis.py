@@ -93,3 +93,43 @@ def test_tokenize_positions_monotonic():
 def test_simple_analyzer_sql_replicable():
     assert simple_analyze("Foo.Bar(baz_qux); x=1") == ["foo", "bar", "baz", "qux", "x", "1"]
     assert simple_analyze("The Quick", stop=True) == ["quick"]
+
+
+class TestFieldAnalyzerRegistry:
+    """analyze_field: the per-field analyzer registry (SURVEY §2.2,
+    IndexSchema per-field analyzers)."""
+
+    def test_keyword_whole_value_case_preserved(self):
+        from lucene_solr_spark.analysis import analyze_field
+
+        per, length = analyze_field("Hello World-42", "keyword")
+        assert per == {"Hello World-42": [0]} and length == 1
+        assert analyze_field("", "keyword") == ({}, 0)
+        assert analyze_field(None, "keyword") == ({}, 0)
+
+    def test_whitespace_preserves_case_splits_on_ws(self):
+        from lucene_solr_spark.analysis import analyze_field
+
+        per, length = analyze_field("Foo  bar\tFoo\nBaz", "whitespace")
+        assert length == 4
+        assert per["Foo"] == [0, 2] and per["bar"] == [1] and per["Baz"] == [3]
+
+    def test_shingle_bigrams(self):
+        from lucene_solr_spark.analysis import analyze_field
+
+        per, length = analyze_field("a b c b c", "shingle")
+        assert length == 4
+        assert per["a b"] == [0] and per["b c"] == [1, 3] and per["c b"] == [2]
+        assert analyze_field("one", "shingle") == ({}, 0)
+
+    def test_simple_stop_compacted_positions(self):
+        from lucene_solr_spark.analysis import analyze_field
+
+        per, length = analyze_field("the quick and the dead", "simple_stop")
+        assert per == {"quick": [0], "dead": [1]} and length == 2
+
+    def test_standard_matches_invert_tokens(self):
+        from lucene_solr_spark.analysis import analyze_field, invert_tokens
+
+        text = "The quick brown-fox can't stop; version 1.2.3 is HERE"
+        assert analyze_field(text, "standard") == invert_tokens(text)
