@@ -135,6 +135,7 @@ def main() -> None:
     headliners = [
         "ft_term_bm25", "ft_bool_and_bm25", "ft_bool_or_bm25",
         "ft_phrase_bm25", "ft_term_facet",
+        "ft_span_near", "ft_passage_highlight", "geo_distance_filter",
         "tpch_q1", "tpch_q3_shipping", "rollup_stats", "grouping_topk",
         "timeseries_events", "join_inner", "join_left",
         "dedup_exact", "dedup_simhash", "dedup_minhash_lsh",

@@ -176,9 +176,21 @@ class IndexReader:
 
 
 class Searcher:
-    def __init__(self, reader: IndexReader, precision: str = "float32"):
+    def __init__(self, reader: IndexReader, precision: str = "float32",
+                 default_field: Optional[str] = None):
+        """default_field: field applied to query leaves that carry none
+        (QueryParser's default-field argument, QueryParser.jj:289) —
+        required for natural syntax against multi-field indexes."""
         self.reader = reader
         self.precision = precision
+        self.default_field = default_field
+
+    def _with_default_field(self, q: Query) -> Query:
+        if self.default_field is None:
+            return q
+        from ..queryast import with_field
+
+        return with_field(q, self.default_field)
 
     # -- weights ------------------------------------------------------------
 
@@ -1031,6 +1043,7 @@ class Searcher:
         exhaustive for other shapes or when paging)."""
         from pyspark.sql import functions as F
 
+        q = self._with_default_field(q)
         if prune and after is None:
             terms = self._as_or_terms(q)
             if terms is not None:
@@ -1060,7 +1073,7 @@ class Searcher:
         )
 
     def count(self, q: Query) -> int:
-        q = self._expand_multiterm(rewrite(q, None))
+        q = self._expand_multiterm(rewrite(self._with_default_field(q), None))
         return self.reader.live(self._eval(rewrite(q, None), 1.0)).count()
 
     def _expand_multiterm(self, q: Query) -> Query:

@@ -184,3 +184,19 @@ def test_multifield_merge_preserves_field_stats(spark, mf_corpus, tmp_path):
     after = s1.search(TermQuery(term="segment", field="body"), k=20)
     assert list(after["doc_id"]) == list(before["doc_id"])
     assert list(after["score"]) == list(before["score"])
+
+
+def test_default_field_searcher(spark, mf_corpus, mf_searcher, tmp_path_factory):
+    """Searcher(default_field=...) scopes unqualified query leaves —
+    the QueryParser default-field argument. Explicit fields still win."""
+    from lucene_solr_spark.search.executor import Searcher
+
+    s = Searcher(mf_searcher.reader, default_field="body")
+    bare = s.search(TermQuery(term="segment"), k=15)
+    scoped = mf_searcher.search(TermQuery(term="segment", field="body"), k=15)
+    assert list(bare["doc_id"]) == list(scoped["doc_id"])
+    assert list(bare["score"]) == list(scoped["score"])
+    # explicit field overrides the default
+    got = s.search(parse_query("lang:Go"), k=100)
+    mask = mf_corpus["lang"] == "Go"
+    assert set(got["doc_id"]) == set(np.flatnonzero(mask.to_numpy()).tolist())
