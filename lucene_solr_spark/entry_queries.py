@@ -1532,6 +1532,86 @@ def ft_span_near(spark, sf_dir):
     return ft(spark, sf_dir).span_near(["hash", "join", "scan"], slop=4, k=10)
 
 
+@register("ft_spell_suggest", _ft_sql("""
+SELECT term, CAST(dist AS INT) AS dist, CAST(df AS BIGINT) AS df FROM (
+  SELECT term, levenshtein(term, 'sprak') AS dist, count(*) AS df
+  FROM post
+  WHERE length(term) BETWEEN 3 AND 7 AND term <> 'sprak'
+  GROUP BY term
+)
+WHERE dist <= 2
+ORDER BY dist ASC, df DESC, term ASC LIMIT 5
+"""))
+def ft_spell_suggest(spark, sf_dir):
+    """DirectSpellChecker did-you-mean: dictionary terms within edit
+    distance 2 of the misspelling 'sprak', ranked dist asc, df desc."""
+    return ft(spark, sf_dir).spell_suggest("sprak", max_edits=2, n=5)
+
+
+@register("func_recip_boost", """
+SELECT event_id, round(score, 6) AS score FROM (
+  SELECT event_id,
+         value * (1000.0 / (1.0 * (86400.0 * 30) + 1000.0
+                  + epoch(CAST('2024-07-01 00:00:00' AS TIMESTAMP) - ts)))
+           AS score
+  FROM events WHERE event_type = 'purchase'
+)
+ORDER BY round(score, 6) DESC, event_id ASC LIMIT 20
+""")
+def func_recip_boost(spark, sf_dir):
+    """Solr recip(ms(NOW,ts),m,a,b) recency boost (function query,
+    ValueSourceParser 'recip'): score = value * a/(m*x+b) with x = age
+    seconds from a fixed NOW — a codegen'd expression, no UDF."""
+    ev = load(spark, sf_dir, "events")
+    age_s = (
+        F.lit(1719792000.0)  # epoch of 2024-07-01 00:00:00 UTC
+        - F.unix_timestamp(F.col("ts")).cast("double")
+    )
+    score = F.col("value") * (
+        F.lit(1000.0) / (F.lit(1.0) * F.lit(86400.0 * 30) + F.lit(1000.0) + age_s)
+    )
+    return (
+        ev.where(F.col("event_type") == "purchase")
+        .select("event_id", F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("event_id"))
+        .limit(20)
+    )
+
+
+@register("ft_sloppy_phrase3", _ft_sql("""
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT f.doc_id,
+         ((SELECT ln(1 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5))
+             FROM dfs WHERE term = 'hash')
+          + (SELECT ln(1 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5))
+             FROM dfs WHERE term = 'join')
+          + (SELECT ln(1 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5))
+             FROM dfs WHERE term = 'scan'))
+           * (f.tf * 2.2)
+           / (f.tf + 1.2 * (0.25 + 0.75 * l.dl / (SELECT avgdl FROM stats)))
+           AS score
+  FROM (
+    SELECT a.doc_id,
+           sum(1.0 / ((greatest(a.pos - 0, b.pos - 1, c.pos - 2)
+                       - least(a.pos - 0, b.pos - 1, c.pos - 2)) + 1.0)) AS tf
+    FROM postoks a
+    JOIN postoks b ON a.doc_id = b.doc_id
+    JOIN postoks c ON a.doc_id = c.doc_id
+    WHERE a.term = 'hash' AND b.term = 'join' AND c.term = 'scan'
+      AND (greatest(a.pos - 0, b.pos - 1, c.pos - 2)
+           - least(a.pos - 0, b.pos - 1, c.pos - 2)) <= 3
+    GROUP BY a.doc_id
+  ) f JOIN dl l USING (doc_id)
+)
+ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10
+""", positions=True))
+def ft_sloppy_phrase3(spark, sf_dir):
+    """3-term sloppy phrase \"hash join scan\"~3: slot-adjusted window
+    slop (SloppyPhraseMatcher generalization, out-of-order allowed)."""
+    return ft(spark, sf_dir).sloppy_phrase_multi(["hash", "join", "scan"],
+                                                 slop=3, k=10)
+
+
 @register("ft_suggest_infix", _ft_sql("""
 SELECT term, CAST(df AS BIGINT) AS df FROM (
   SELECT term, count(*) AS df FROM post GROUP BY term

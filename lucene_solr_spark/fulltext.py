@@ -542,6 +542,39 @@ class FulltextIndex:
             .limit(n)
         )
 
+    def sloppy_phrase_multi(self, terms: Sequence[str], slop: int = 2,
+                            k: int = 10) -> DataFrame:
+        """n-term sloppy phrase (SloppyPhraseMatcher generalization of
+        the 2-term path): slot-adjusted positions q_i = p_i - i; a
+        tuple matches when max(q) - min(q) <= slop (out-of-order within
+        the slop window allowed, like Lucene's edit-distance slop);
+        weight 1/(w+1) per tuple, phrase freq = sum, scored as a term
+        with summed idf. Tuple enumeration (documented deviation from
+        minimal-window matching); repeated terms unsupported here."""
+        if len(set(terms)) != len(terms):
+            raise ValueError("sloppy_phrase_multi: repeated terms unsupported")
+        st = self.stats
+        dfs = term_dfs(self.post, list(terms))
+        if any(dfs[t] == 0 for t in terms):
+            return self.df.sparkSession.createDataFrame([], "doc_id long, score double")
+        idf_sum = sum(st.idf(dfs[t]) for t in terms)
+        n = len(terms)
+        cur = self.toks.where(F.col("term") == terms[0]).select(
+            "doc_id", (F.col("pos") - 0).alias("q0"))
+        for i, t in enumerate(terms[1:], 1):
+            nxt = self.toks.where(F.col("term") == t).select(
+                F.col("doc_id").alias("d_"), (F.col("pos") - i).alias(f"q{i}"))
+            cur = cur.join(nxt, cur["doc_id"] == nxt["d_"]).drop("d_")
+        qs = [F.col(f"q{i}") for i in range(n)]
+        w = F.greatest(*qs) - F.least(*qs) if n > 1 else F.lit(0)
+        spans = cur.where(w <= slop).select(
+            "doc_id", (F.lit(1.0) / (w.cast("double") + 1.0)).alias("w"))
+        freq = spans.groupBy("doc_id").agg(F.sum("w").alias("tf"))
+        sc = freq.join(self.dl, "doc_id").select(
+            "doc_id",
+            bm25_expr(F.col("tf"), F.col("dl"), idf_sum, st.avgdl).alias("score"))
+        return _topk(sc, k)
+
     def suggest_infix(self, fragment: str, n: int = 10) -> DataFrame:
         """Infix suggester (suggest/.../analyzing/
         AnalyzingInfixSuggester.java:106 analog): dictionary terms
@@ -589,6 +622,32 @@ class FulltextIndex:
             best.select("doc_id", "passage", F.round("score", 6).alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
+        )
+
+    def spell_suggest(self, word: str, max_edits: int = 2, n: int = 5,
+                      min_df: int = 1) -> DataFrame:
+        """DirectSpellChecker analog (suggest/.../spell/
+        DirectSpellChecker.java:40): dictionary terms within edit
+        distance of the input, ranked (distance asc, df desc, term asc)
+        — the did-you-mean lookup straight off the term dictionary,
+        JVM-side levenshtein, length-window pre-filter pushed to the
+        scan."""
+        t = F.col("term")
+        cand = (
+            self.post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+            .where(
+                (F.length(t) >= len(word) - max_edits)
+                & (F.length(t) <= len(word) + max_edits)
+                & (F.col("df") >= min_df)
+                & (t != word)
+            )
+            .withColumn("dist", F.levenshtein(t, F.lit(word)))
+            .where(F.col("dist") <= max_edits)
+        )
+        return (
+            cand.select("term", "dist", "df")
+            .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+            .limit(n)
         )
 
     def highlight(self, term: str, window: int = 30) -> DataFrame:

@@ -95,19 +95,24 @@ def _commit_tombstones(spark, index_dir: str, doc_ids_df, kind: str, detail) -> 
     return int(n)
 
 
-def delete_by_terms(spark, index_dir: str, terms: Sequence[str]) -> int:
+def delete_by_terms(spark, index_dir: str, terms: Sequence[str],
+                    field: str = None) -> int:
     """deleteDocuments(Term...): tombstone every doc whose postings
-    contain any of the terms. One pushdown-filtered scan of the
-    postings blocks; doc extraction is a vectorized Arrow decode."""
+    contain any of the terms (a Lucene Term is a (field, text) pair —
+    pass `field` on multi-field indexes). One pushdown-filtered scan of
+    the postings blocks; doc extraction is a vectorized Arrow decode."""
     from pyspark.sql import functions as F
+
+    from ..fields import term_key
 
     store = ManifestStore(index_dir)
     manifest = store.load()
     seg_dirs = [store.segment_dir(s.name) for s in manifest.segments]
     if not seg_dirs:
         return 0
+    keys = [term_key(field, t) for t in terms]
     blocks = spark.read.parquet(*[postings_path(d) for d in seg_dirs])
-    hits = blocks.where(F.col("term").isin(list(terms)))
+    hits = blocks.where(F.col("term").isin(keys))
 
     def docs_of(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -119,7 +124,7 @@ def delete_by_terms(spark, index_dir: str, terms: Sequence[str]) -> int:
                 yield pd.DataFrame({"doc_id": np.concatenate(out)})
 
     matched = hits.mapInPandas(docs_of, "doc_id long")
-    return _commit_tombstones(spark, index_dir, matched, "term", list(terms))
+    return _commit_tombstones(spark, index_dir, matched, "term", list(keys))
 
 
 def delete_by_keys(spark, index_dir: str, keys_df) -> int:

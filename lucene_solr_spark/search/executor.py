@@ -546,10 +546,24 @@ class Searcher:
         wide = blocks.where(span_chunks > MAX_CHUNKS_PER_BLOCK)
         # a term with any wide block has an (effectively) unbounded chunk
         # set: drop it from the intersection — common stays a SUPERSET of
-        # the true common chunk set, so pruning remains exact
-        wide_terms = {
-            r["term"] for r in wide.select("term").distinct().collect()
-        }
+        # the true common chunk set, so pruning remains exact.
+        # Chamber-built segments structurally CANNOT contain wide blocks
+        # (a block's doc span is bounded by its partition's contiguous
+        # range <= the segment's doc count), so when the manifest shows
+        # only unmerged segments under the span bound, skip the
+        # wide-term probe job entirely — the common case pays one job,
+        # not two.
+        wide_impossible = all(
+            not s.name.startswith("seg_m_")
+            and s.doc_count <= (MAX_CHUNKS_PER_BLOCK << CHUNK_BITS)
+            for s in self.reader.manifest.segments
+        )
+        if wide_impossible:
+            wide_terms = set()
+        else:
+            wide_terms = {
+                r["term"] for r in wide.select("term").distinct().collect()
+            }
         constrained = [t for t in must_terms if t not in wide_terms]
         if not constrained:
             return blocks

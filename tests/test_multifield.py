@@ -200,3 +200,21 @@ def test_default_field_searcher(spark, mf_corpus, mf_searcher, tmp_path_factory)
     got = s.search(parse_query("lang:Go"), k=100)
     mask = mf_corpus["lang"] == "Go"
     assert set(got["doc_id"]) == set(np.flatnonzero(mask.to_numpy()).tolist())
+
+
+def test_field_scoped_delete(spark, mf_corpus, tmp_path):
+    """delete_by_terms with a field: a Lucene Term is (field, text) —
+    lang:Go tombstones exactly the Go docs; body:go (absent) deletes
+    nothing."""
+    from lucene_solr_spark.indexing import deletes
+    from lucene_solr_spark.indexing.builder import build_index
+    from lucene_solr_spark.search.executor import IndexReader, Searcher
+
+    idx = str(tmp_path / "mfdel")
+    build_index(spark, idx, [("b0", spark.createDataFrame(mf_corpus))],
+                fields=FIELDS)
+    n_go = int((mf_corpus["lang"] == "Go").sum())
+    assert deletes.delete_by_terms(spark, idx, ["Go"], field="lang") == n_go
+    s = Searcher(IndexReader(spark, idx))
+    assert s.count(TermQuery(term="Go", field="lang")) == 0
+    assert deletes.delete_by_terms(spark, idx, ["Go"], field="body") == 0
