@@ -50,8 +50,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_FT_STATS_CACHE: dict = {}
+
+
 def ft(spark: SparkSession, sf_dir: str) -> FulltextIndex:
-    return FulltextIndex(load(spark, sf_dir, "documents"))
+    """Live fulltext index over `documents`. Corpus stats (docCount,
+    sumTotalTermFreq) are cached per dataset fingerprint — they cost a
+    full tokenize scan, are identical for every query, and the
+    fingerprint (file sizes+mtimes) invalidates on data change; this is
+    the ExactStatsCache being an actual cache."""
+    idx = FulltextIndex(load(spark, sf_dir, "documents"))
+    key = (sf_dir, _gate_fingerprint(sf_dir))
+    st = _FT_STATS_CACHE.get(key)
+    if st is None:
+        _FT_STATS_CACHE[key] = st = idx.stats
+    else:
+        idx._stats = st
+    return idx
 
 
 # ---------------------------------------------------------------------------
