@@ -218,3 +218,19 @@ def test_field_scoped_delete(spark, mf_corpus, tmp_path):
     s = Searcher(IndexReader(spark, idx))
     assert s.count(TermQuery(term="Go", field="lang")) == 0
     assert deletes.delete_by_terms(spark, idx, ["Go"], field="body") == 0
+
+
+def test_field_scoped_wand_rank_identical(mf_searcher):
+    """Single-pass WAND on field-scoped term/OR queries: keys carry the
+    field, weights use per-field stats — identical to exhaustive."""
+    q1 = TermQuery(term="segment", field="body")
+    a, b = mf_searcher.search(q1, k=10), mf_searcher.search(q1, k=10, prune=True)
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    assert list(a["score"]) == list(b["score"])
+    q2 = BooleanQuery(clauses=(
+        BooleanClause(Occur.SHOULD, TermQuery(term="vector", field="title")),
+        BooleanClause(Occur.SHOULD, TermQuery(term="segment", field="body")),
+    ))
+    a, b = mf_searcher.search(q2, k=10), mf_searcher.search(q2, k=10, prune=True)
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    assert list(a["score"]) == list(b["score"])
