@@ -36,9 +36,17 @@ def cmd_index(args) -> dict:
 
     spark = _spark()
     corpus = spark.read.parquet(args.corpus)
+    fields = None
+    if args.fields:
+        # "name:source_col[:analyzer],..." -> multi-field build
+        fields = []
+        for spec in args.fields.split(","):
+            parts = spec.split(":")
+            fields.append(tuple(parts) if len(parts) == 3
+                          else (parts[0], parts[-1]))
     t0 = time.time()
     m = build_index(spark, args.index, [(args.batch, corpus)],
-                    assume_sorted=args.sorted)
+                    assume_sorted=args.sorted, fields=fields)
     dt = time.time() - t0
     return {"docs": m.total_docs, "segments": len(m.segments),
             "build_s": round(dt, 2), "docs_per_sec": round(m.total_docs / dt, 1)}
@@ -49,7 +57,8 @@ def cmd_search(args) -> dict:
     from .search.executor import IndexReader, Searcher
 
     spark = _spark()
-    s = Searcher(IndexReader(spark, args.index))
+    s = Searcher(IndexReader(spark, args.index),
+                 default_field=args.default_field)
     q = parse_query(args.query, analyzer=_analyzer)
     t0 = time.time()
     hits = s.search(q, k=args.k, prune=args.wand)
@@ -87,7 +96,8 @@ def cmd_delete(args) -> dict:
     from .indexing import deletes
 
     spark = _spark()
-    n = deletes.delete_by_terms(spark, args.index, args.terms.split(","))
+    n = deletes.delete_by_terms(spark, args.index, args.terms.split(","),
+                                field=args.field)
     return {"deleted": n}
 
 
@@ -116,12 +126,15 @@ def main(argv=None) -> int:
     p.add_argument("--index", required=True)
     p.add_argument("--batch", default=f"cli_{int(time.time())}")
     p.add_argument("--sorted", action="store_true")
+    p.add_argument("--fields", default=None,
+                   help="multi-field spec: name:source_col[:analyzer],...")
 
     p = sub.add_parser("search")
     p.add_argument("--index", required=True)
     p.add_argument("--query", required=True)
     p.add_argument("-k", type=int, default=10)
     p.add_argument("--wand", action="store_true")
+    p.add_argument("--default-field", dest="default_field", default=None)
 
     p = sub.add_parser("count")
     p.add_argument("--index", required=True)
@@ -134,6 +147,7 @@ def main(argv=None) -> int:
     p = sub.add_parser("delete")
     p.add_argument("--index", required=True)
     p.add_argument("--terms", required=True)
+    p.add_argument("--field", default=None)
 
     p = sub.add_parser("stats")
     p.add_argument("--index", required=True)
