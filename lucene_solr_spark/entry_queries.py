@@ -1161,8 +1161,8 @@ def ft_classic_tfidf(spark, sf_dir):
 SELECT doc_id, round(score, 6) AS score FROM (
   SELECT p.doc_id,
          greatest(
-           ln(1 + p.tf / (2000.0 * ((SELECT count(*) FROM toks WHERE term = 'spark') * 1.0
-                                    / (SELECT count(*) FROM toks))))
+           ln(1 + p.tf / (2000.0 * (((SELECT count(*) FROM toks WHERE term = 'spark') + 1.0)
+                                    / ((SELECT count(*) FROM toks) + 1.0))))
            + ln(2000.0 / (l.dl + 2000.0)),
            0.0) AS score
   FROM post p JOIN dl l USING (doc_id)
@@ -1172,8 +1172,26 @@ ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10
 """))
 def ft_lm_dirichlet(spark, sf_dir):
     """LMDirichletSimilarity (mu=2000): Bayesian-smoothed language
-    model, score clamped at 0 (LMDirichletSimilarity.java:60-68)."""
+    model, score clamped at 0 (LMDirichletSimilarity.java:60-68);
+    p(w|C) = (ttf+1)/(sttf+1) per LMSimilarity.DefaultCollectionModel."""
     return ft(spark, sf_dir).lm_dirichlet_term_query("spark", k=10)
+
+
+@register("ft_lm_jelinek_mercer", _ft_sql("""
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT p.doc_id,
+         ln(1 + ((1.0 - 0.7) * p.tf / l.dl)
+                / (0.7 * (((SELECT count(*) FROM toks WHERE term = 'spark') + 1.0)
+                          / ((SELECT count(*) FROM toks) + 1.0)))) AS score
+  FROM post p JOIN dl l USING (doc_id)
+  WHERE p.term = 'spark'
+)
+ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10
+"""))
+def ft_lm_jelinek_mercer(spark, sf_dir):
+    """LMJelinekMercerSimilarity (lambda=0.7): linear-interpolation
+    language model (LMJelinekMercerSimilarity.java:55-60)."""
+    return ft(spark, sf_dir).lm_jelinek_mercer_term_query("spark", k=10)
 
 
 @register("ft_dfr_inl2", _ft_sql("""

@@ -426,20 +426,45 @@ class FulltextIndex:
         """TermQuery under LMDirichletSimilarity (similarities/
         LMDirichletSimilarity.java:60-68, default mu=2000):
         score = ln(1 + tf/(mu * p(w|C))) + ln(mu/(dl + mu)), clamped at
-        0; p(w|C) = totalTermFreq/sumTotalTermFreq. Same one-scan
-        postings relation, different scoring expression — the pluggable
+        0; p(w|C) = (totalTermFreq+1)/(sumTotalTermFreq+1)
+        (LMSimilarity.DefaultCollectionModel). Same one-scan postings
+        relation, different scoring expression — the pluggable
         Similarity point."""
         st = self.stats
         ttf = term_ttfs(self.toks, [term])[term]
         if ttf == 0 or st.total_tokens == 0:
             return self.df.sparkSession.createDataFrame([], "doc_id long, score double")
-        p_c = ttf / st.total_tokens
+        p_c = (ttf + 1.0) / (st.total_tokens + 1.0)
         tf_d = F.col("tf").cast("double")
         dl_d = F.col("dl").cast("double")
         score = F.greatest(
             F.log(F.lit(1.0) + tf_d / F.lit(mu * p_c))
             + F.log(F.lit(mu) / (dl_d + F.lit(mu))),
             F.lit(0.0),
+        )
+        sc = (
+            self.post.where(F.col("term") == term)
+            .join(self.dl, "doc_id")
+            .select("doc_id", score.alias("score"))
+        )
+        return _topk(sc, k)
+
+    def lm_jelinek_mercer_term_query(self, term: str, k: int = 10,
+                                     lam: float = 0.7) -> DataFrame:
+        """TermQuery under LMJelinekMercerSimilarity (similarities/
+        LMJelinekMercerSimilarity.java:55-60, lambda=0.7):
+        score = ln(1 + ((1-lambda) * tf/dl) / (lambda * p(w|C))),
+        p(w|C) = (ttf+1)/(sumTotalTermFreq+1)."""
+        st = self.stats
+        ttf = term_ttfs(self.toks, [term])[term]
+        if ttf == 0 or st.total_tokens == 0:
+            return self.df.sparkSession.createDataFrame([], "doc_id long, score double")
+        p_c = (ttf + 1.0) / (st.total_tokens + 1.0)
+        tf_d = F.col("tf").cast("double")
+        dl_d = F.col("dl").cast("double")
+        score = F.log(
+            F.lit(1.0)
+            + (F.lit(1.0 - lam) * tf_d / dl_d) / F.lit(lam * p_c)
         )
         sc = (
             self.post.where(F.col("term") == term)
