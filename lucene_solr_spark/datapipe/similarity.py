@@ -69,6 +69,56 @@ def cosine_near_pairs(df: DataFrame, threshold: float = 0.9,
     )
 
 
+def ivf_topk(df: DataFrame, query_id: int, k: int = 10,
+             n_centroids: int = 16, n_probe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-Flat approximate nearest neighbor (the inverted-file index
+    from Jegou et al., "Product Quantization for Nearest Neighbor
+    Search", 2011 — coarse quantizer only, exact scoring in-list).
+
+    Coarse quantizer: the embeddings of the first n_centroids ids
+    (deterministic — no k-means iterations, so the DuckDB oracle can
+    replay assignment exactly). Every vector joins its max-cosine
+    centroid (broadcast K-row dim table + window argmax; at scale this
+    is a one-off materialization, bucketed by cid). A query scores the
+    K centroids driver-side, probes its n_probe best buckets and
+    brute-forces only those — the corpus-side work drops from N to
+    ~N*(n_probe/K) while the bucket join stays shuffle-free (broadcast
+    probe list)."""
+    from pyspark.sql import Window
+
+    cents = df.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    assigned = df.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"), "cid",
+        cosine(F.col(vec_col), F.col("cvec")).alias("csim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+    buckets = (
+        assigned.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "vec", "cid")
+    )
+    q = df.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("qvec"))
+    probe_rows = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cid", cosine(F.col("cvec"), F.col("qvec")).alias("s"))
+        .orderBy(F.desc("s"), F.asc("cid"))
+        .limit(n_probe)
+        .collect()
+    )
+    probe_cids = [int(r["cid"]) for r in probe_rows]
+    cand = buckets.where(F.col("cid").isin(probe_cids)).where(
+        F.col("vec_id") != query_id)
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select("vec_id",
+                F.round(cosine(F.col("vec"), F.col("qvec")), 6).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def _hyperplane(dim: int, plane_idx: int) -> List[float]:
     """Deterministic pseudo-random hyperplane: component j derives from
     the 60-bit md5 h60 construction seeded by (plane_idx, j), mapped to

@@ -916,6 +916,48 @@ def ann_cosine_topk(spark, sf_dir):
     return _sim.brute_force_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10)
 
 
+_COS_SQL = ("list_dot_product({a}, {b}) / "
+            "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))")
+
+
+@register("ann_ivf_topk", """
+WITH cents AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings WHERE vec_id < 16
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0),
+assigned AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS vec, c.cid,
+         """ + _COS_SQL.format(a="CAST(e.embedding AS DOUBLE[])", b="c.cvec") + """ AS csim
+  FROM embeddings e CROSS JOIN cents c
+),
+buckets AS (
+  SELECT vec_id, vec, cid FROM (
+    SELECT vec_id, vec, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+    FROM assigned
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT cid FROM (
+    SELECT c.cid, """ + _COS_SQL.format(a="c.cvec", b="q.qvec") + """ AS s
+    FROM cents c, q ORDER BY s DESC, cid ASC LIMIT 4
+  )
+)
+SELECT vec_id, round(""" + _COS_SQL.format(a="b.vec", b="q.qvec") + """, 6) AS cos
+FROM buckets b, q
+WHERE b.cid IN (SELECT cid FROM probes) AND b.vec_id <> 0
+ORDER BY round(""" + _COS_SQL.format(a="b.vec", b="q.qvec") + """, 6) DESC, vec_id ASC
+LIMIT 10
+""")
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-Flat ANN (Jegou et al. 2011 coarse quantizer): deterministic
+    16-centroid inverted file, 4-bucket probe, exact cosine in-list —
+    the fully-oracle-checkable scale path complement to ann_lsh_topk."""
+    return _sim.ivf_topk(load(spark, sf_dir, "embeddings"), query_id=0,
+                         k=10, n_centroids=16, n_probe=4)
+
+
 @register("ann_cosine_pairs", """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <= 150)
 SELECT a.vec_id AS a, b.vec_id AS b,
