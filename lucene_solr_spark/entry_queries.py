@@ -1326,6 +1326,45 @@ def facet_grouping_sets(spark, sf_dir):
     )
 
 
+@register("join_block_parent", """
+SELECT o_orderkey, round(score, 6) AS score, CAST(n_children AS BIGINT) AS n_children
+FROM (
+  SELECT o.o_orderkey,
+         max(l.l_extendedprice * (1 - l.l_discount)) AS score,
+         count(*) AS n_children
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_quantity >= 45 AND o.o_orderstatus = 'O'
+  GROUP BY o.o_orderkey
+)
+ORDER BY round(score, 6) DESC, o_orderkey ASC LIMIT 15
+""")
+def join_block_parent(spark, sf_dir):
+    """ToParentBlockJoinQuery with ScoreMode.Max (lucene/join/.../
+    ToParentBlockJoinQuery.java, JoinUtil.createJoinQuery): child query
+    (lineitem filter) scored, aggregated to parents (orders) by max,
+    parent filter applied, top-k parents. One hash agg + broadcast-able
+    parent filter — no per-block structures needed: the parent key IS
+    the block id."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    child = li.where(F.col("l_quantity") >= 45).select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("cscore"),
+    )
+    parents = o.where(F.col("o_orderstatus") == "O").select("o_orderkey")
+    agg = (
+        child.join(parents, "o_orderkey")
+        .groupBy("o_orderkey")
+        .agg(F.max("cscore").alias("score"),
+             F.count(F.lit(1)).alias("n_children"))
+    )
+    return (
+        agg.select("o_orderkey", F.round("score", 6).alias("score"), "n_children")
+        .orderBy(F.desc("score"), F.asc("o_orderkey"))
+        .limit(15)
+    )
+
+
 _GEO_PTS_SQL = """
 pts AS (
   SELECT c_custkey,
