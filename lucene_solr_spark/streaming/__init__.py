@@ -17,4 +17,8 @@ store give exactly-once windowed aggs for free. Everything here uses
 the DataFrame streaming API — no custom receivers.
 """
 
-from .incremental import IncrementalIndexer, windowed_event_counts  # noqa: F401
+from .incremental import (  # noqa: F401
+    IncrementalIndexer,
+    streaming_first_seen,
+    windowed_event_counts,
+)

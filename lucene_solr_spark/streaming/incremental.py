@@ -68,6 +68,50 @@ class IncrementalIndexer:
         return writer.start()
 
 
+def streaming_first_seen(df: DataFrame, key_col: str,
+                         order_col: str) -> DataFrame:
+    """Cross-batch exact dedup with keyed state — a custom stateful
+    operator via applyInPandasWithState (the Spark primitive for
+    operators Structured Streaming lacks):
+
+    emit each key's FIRST row (min order_col within the first batch the
+    key appears in); every later duplicate — same batch or any later
+    micro-batch — is dropped. State per key is one boolean. This is the
+    streaming analog of dedup_exact and of Solr's uniqueKey
+    overwrite=false update semantics (update stream dedup;
+    solr/core/.../update/processor/
+    SignatureUpdateProcessorFactory.java dedup-by-signature).
+
+    At 100 TB-of-stream scale the state store holds one tiny entry per
+    distinct key, partitioned by the shuffle on key_col; RocksDB state
+    backend + watermark-based TTL are the knobs on a real cluster."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = df.schema
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            for _ in pdfs:  # drain (contract), emit nothing
+                pass
+            return
+        first = None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            cand = pdf.sort_values(order_col).iloc[[0]]
+            if first is None or cand[order_col].iloc[0] < first[order_col].iloc[0]:
+                first = cand
+        state.update((True,))
+        if first is not None:
+            yield first
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, schema, "seen boolean", "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",
                           watermark: str = "2 hours") -> DataFrame:
     """TimeSeriesStream as a streaming windowed agg with late-data

@@ -135,3 +135,45 @@ def test_windowed_event_counts_streaming(spark, tmp_path_factory):
     got = spark.table("win_counts").orderBy("window_start", "event_type").collect()
     want = windowed_event_counts(events).orderBy("window_start", "event_type").collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_streaming_first_seen_dedup(spark, tmp_path_factory):
+    """applyInPandasWithState cross-batch dedup: keys repeated across
+    micro-batches surface exactly once, with the first batch's row
+    winning (maxFilesPerTrigger=1 -> one micro-batch per file)."""
+    import pandas as pd
+
+    from lucene_solr_spark.streaming import streaming_first_seen
+
+    base = tmp_path_factory.mktemp("stateful")
+    src = str(base / "src")
+    os.makedirs(src)
+    b0 = pd.DataFrame({"k": ["a", "b", "a"], "seq": [1, 2, 3], "v": ["a1", "b2", "a3"]})
+    b1 = pd.DataFrame({"k": ["b", "c"], "seq": [4, 5], "v": ["b4", "c5"]})
+    b0.to_parquet(f"{src}/b0.parquet", index=False)
+    time.sleep(1.1)  # file-source ordering is by modification time
+    b1.to_parquet(f"{src}/b1.parquet", index=False)
+
+    stream = (
+        spark.readStream.schema("k string, seq long, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_first_seen(stream, key_col="k", order_col="seq")
+    q = (
+        out.writeStream.format("memory").queryName("first_seen_t")
+        .option("checkpointLocation", str(base / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert q.lastProgress is None or spark.sql(
+        "SELECT 1").count() == 1  # query finished
+    rows = {
+        r["k"]: (r["seq"], r["v"])
+        for r in spark.sql("SELECT * FROM first_seen_t").collect()
+    }
+    # a: min seq within batch 0; b: batch-0 row wins over batch-1 dup;
+    # c: arrives in batch 1
+    assert rows == {"a": (1, "a1"), "b": (2, "b2"), "c": (5, "c5")}
