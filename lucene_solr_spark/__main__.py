@@ -101,6 +101,13 @@ def cmd_delete(args) -> dict:
     return {"deleted": n}
 
 
+def cmd_check(args) -> dict:
+    from .indexing.check import check_index
+
+    return check_index(_spark(), args.index, decode_blocks=not args.fast,
+                       raise_on_error=False)
+
+
 def cmd_stats(args) -> dict:
     from .indexing.manifest import ManifestStore
 
@@ -152,10 +159,16 @@ def main(argv=None) -> int:
     p = sub.add_parser("stats")
     p.add_argument("--index", required=True)
 
+    p = sub.add_parser("check")
+    p.add_argument("--index", required=True)
+    p.add_argument("--fast", action="store_true",
+                   help="skip per-block decode verification")
+
     args = ap.parse_args(argv)
     out = {
         "index": cmd_index, "search": cmd_search, "count": cmd_count,
         "merge": cmd_merge, "delete": cmd_delete, "stats": cmd_stats,
+        "check": cmd_check,
     }[args.cmd](args)
     print(json.dumps(out))
     return 0
