@@ -1585,6 +1585,26 @@ def seg_bool_and_bm25(spark, sf_dir):
     return _seg_topk(spark, s.search(q, k=10_000_000))
 
 
+@register("seg_bool_or_bm25", _ft_sql("""
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT doc_id, sum(score) AS score
+  FROM scored WHERE term IN ('spark', 'vector', 'dup') GROUP BY doc_id
+)
+ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10
+"""))
+def seg_bool_or_bm25(spark, sf_dir):
+    """Boolean SHOULD disjunction through the persisted segment index
+    (union decode + per-clause conditional-sum hash agg)."""
+    from .queryast import BooleanClause, BooleanQuery, Occur, TermQuery
+
+    q = BooleanQuery(clauses=tuple(
+        BooleanClause(Occur.SHOULD, TermQuery(term=t))
+        for t in ("spark", "vector", "dup")
+    ))
+    s = _seg_searcher(spark, sf_dir)
+    return _seg_topk(spark, s.search(q, k=10_000_000))
+
+
 @register("seg_phrase_bm25", _ft_sql("""
 SELECT doc_id, round(score, 6) AS score FROM (
   SELECT f.doc_id,
@@ -1644,6 +1664,23 @@ def ft_span_near(spark, sf_dir):
     proximity generalizing the phrase position-join machinery
     (spans/SpanNearQuery.java:42; weights 1/(dist+1))."""
     return ft(spark, sf_dir).span_near(["hash", "join", "scan"], slop=4, k=10)
+
+
+@register("ft_feature_saturation", _ft_sql("""
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT s.doc_id,
+         s.score + (2.0 * d.n_chars / (d.n_chars + 500.0)) AS score
+  FROM scored s JOIN documents d USING (doc_id)
+  WHERE s.term = 'spark'
+)
+ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10
+"""))
+def ft_feature_saturation(spark, sf_dir):
+    """FeatureField saturation boost (FeatureField.newSaturationQuery):
+    BM25('spark') + 2 * f/(f+500) with f = n_chars — static signal
+    folded into the relevance score as a codegen'd column."""
+    return ft(spark, sf_dir).feature_saturation_query(
+        "spark", "n_chars", pivot=500.0, weight=2.0, k=10)
 
 
 @register("ft_spell_suggest", _ft_sql("""

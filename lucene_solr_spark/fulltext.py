@@ -649,6 +649,27 @@ class FulltextIndex:
             .limit(k)
         )
 
+    def feature_saturation_query(self, term: str, feature_col: str,
+                                 pivot: float, weight: float = 1.0,
+                                 k: int = 10) -> DataFrame:
+        """FeatureField.newSaturationQuery analog (document/
+        FeatureField.java): relevance = BM25(term) + weight * f/(f +
+        pivot) where f is a per-doc static feature (here a DataFrame
+        column — Spark's columnar layout IS the feature store, no
+        freq-encoded pseudo-terms needed). The saturation curve is the
+        BM25-compatible static boost (pagerank-style signals)."""
+        feats = self.df.select(
+            F.col(self.id_col).alias("doc_id"),
+            (F.lit(weight) * F.col(feature_col).cast("double")
+             / (F.col(feature_col).cast("double") + F.lit(pivot))).alias("fboost"),
+        )
+        sc = (
+            self.scored_postings([term]).select("doc_id", "score")
+            .join(feats, "doc_id")
+            .select("doc_id", (F.col("score") + F.col("fboost")).alias("score"))
+        )
+        return _topk(sc, k)
+
     def spell_suggest(self, word: str, max_edits: int = 2, n: int = 5,
                       min_df: int = 1) -> DataFrame:
         """DirectSpellChecker analog (suggest/.../spell/
