@@ -1137,6 +1137,46 @@ def facet_hll_approx(spark, sf_dir):
     )
 
 
+@register("func_termfreq", _ft_sql("""
+SELECT doc_id, CAST(tf AS BIGINT) AS tf
+FROM post WHERE term = 'spark'
+ORDER BY tf DESC, doc_id ASC LIMIT 25
+"""))
+def func_termfreq(spark, sf_dir):
+    """termfreq(field, 'spark') function query (TermFreqValueSource):
+    the per-(doc, term) frequency as a first-class value."""
+    idx = ft(spark, sf_dir)
+    return (
+        idx.post.where(F.col("term") == "spark")
+        .select("doc_id", F.col("tf"))
+        .orderBy(F.desc("tf"), F.asc("doc_id"))
+        .limit(25)
+    )
+
+
+@register("grouping_distinct", """
+SELECT l_returnflag,
+       array_to_string(list(DISTINCT l_linestatus ORDER BY l_linestatus), ',')
+         AS statuses,
+       CAST(count(DISTINCT l_linestatus) AS BIGINT) AS n_distinct
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def grouping_distinct(spark, sf_dir):
+    """DistinctValuesCollector (grouping module): distinct values of a
+    field per group, plus the distinct count (list joined to a string —
+    the gate comparator hashes scalars)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",")
+            .alias("statuses"),
+            F.count_distinct("l_linestatus").alias("n_distinct"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 @register("func_index_stats", _ft_sql("""
 SELECT term,
        CAST(df AS BIGINT) AS docfreq,
