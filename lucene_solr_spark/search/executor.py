@@ -362,8 +362,16 @@ class Searcher:
                         }
                     )
 
+        # a phrase match is a conjunction match: the exact chunk-
+        # intersection block prefilter (leapfrog analog) applies, so
+        # only blocks overlapping every term's chunk coverage decode
+        distinct_terms = sorted(set(terms))
+        if len(distinct_terms) >= 2:
+            blocks_src = self._conjunction_blocks(distinct_terms, distinct_terms)
+        else:
+            blocks_src = self.reader.blocks.where(F.col("term").isin(terms))
         occ = (
-            self.reader.blocks.where(F.col("term").isin(terms))
+            blocks_src
             .select("term", "blob")
             .mapInPandas(decode_pos, "doc_id long, tidx int, norm int, pos long")
         )
