@@ -364,9 +364,13 @@ class Searcher:
 
         # a phrase match is a conjunction match: the exact chunk-
         # intersection block prefilter (leapfrog analog) applies, so
-        # only blocks overlapping every term's chunk coverage decode
+        # only blocks overlapping every term's chunk coverage decode.
+        # Engaged only when some term is SELECTIVE (df <= docCount/16):
+        # an unselective conjunction covers every chunk, so the filter
+        # would prune nothing and just pay its metadata-job waves
         distinct_terms = sorted(set(terms))
-        if len(distinct_terms) >= 2:
+        min_df = min(stats.get(t, (0, 0))[0] for t in distinct_terms)
+        if len(distinct_terms) >= 2 and min_df <= max(1, n // 16):
             blocks_src = self._conjunction_blocks(distinct_terms, distinct_terms)
         else:
             blocks_src = self.reader.blocks.where(F.col("term").isin(terms))
@@ -592,11 +596,18 @@ class Searcher:
             .where(F.col("nt") == len(constrained))
             .select("chunk")
         )
-        kept_narrow = (
-            narrow.select("*", span)
+        # resolve surviving blocks as (term, min_doc) KEYS over metadata
+        # only, then broadcast-semi-join the data rows: the blob column
+        # never enters a shuffle (the old explode+dropDuplicates on the
+        # data rows shuffled every blob and cost more than it pruned)
+        kept_keys = (
+            narrow.select("term", "min_doc", span)
             .join(F.broadcast(common), "chunk", "left_semi")
-            .drop("chunk")
-            .dropDuplicates(["term", "min_doc"])
+            .select("term", "min_doc")
+            .distinct()
+        )
+        kept_narrow = narrow.join(
+            F.broadcast(kept_keys), ["term", "min_doc"], "left_semi"
         )
         return kept_narrow.unionByName(wide)
 
@@ -630,11 +641,17 @@ class Searcher:
             # prune only when every clause of the query is a flat term:
             # a non-term MUST sub-clause (e.g. phrase) isn't represented
             # in the chunk intersection, and its matches would be
-            # truncated by the pruned SHOULD/NOT decodes
+            # truncated by the pruned SHOULD/NOT decodes. Also require a
+            # SELECTIVE must term (df <= docCount/16) — an unselective
+            # conjunction covers every chunk, so the prefilter would
+            # prune nothing and just pay its metadata-job waves
             if len(must_terms) >= 2 and len(flat_terms) == len(q.clauses):
-                blocks_df = self._conjunction_blocks(
-                    must_terms, sorted({t for _, t, _ in flat_terms})
-                )
+                mstats = self.reader.term_stats(must_terms)
+                min_df = min(mstats.get(t, (0, 0))[0] for t in must_terms)
+                if min_df <= max(1, self.reader.doc_count // 16):
+                    blocks_df = self._conjunction_blocks(
+                        must_terms, sorted({t for _, t, _ in flat_terms})
+                    )
             parts.insert(0, self._score_terms(flat_terms, blocks_df=blocks_df))
         u = parts[0]
         for p in parts[1:]:
