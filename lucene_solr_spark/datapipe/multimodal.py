@@ -79,6 +79,60 @@ def extract_features(df: DataFrame, text_col: str = "text",
     )
 
 
+def resize_images(df: DataFrame, target_w: int = 8, target_h: int = 8,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  fake_decode: bool = True) -> DataFrame:
+    """Image-resize plumbing: blob -> decode to a HxW pixel array ->
+    area (block-mean) downsample to target -> re-encoded bytes. The
+    decode is the deterministic fake (md5-seeded pixels + source dims
+    derived from the payload); the numpy resample, Arrow batch shape,
+    and binary-out schema are the real production plumbing — swap the
+    decode for PIL and nothing else changes."""
+    if not fake_decode:
+        raise NotImplementedError(
+            "real codecs unavailable in this container; pass fake_decode=True"
+        )
+    src = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("blob"),
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sw, sh, out_blob, out_sha = [], [], [], [], []
+            for did, blob in zip(pdf["doc_id"], pdf["blob"]):
+                b = bytes(blob)
+                h_d = hashlib.md5(b).digest()
+                # fake source dims + pixels, deterministic in the payload
+                src_h = target_h * (1 + h_d[0] % 4)
+                src_w = target_w * (1 + h_d[1] % 4)
+                rng = np.random.default_rng(int.from_bytes(h_d[:8], "big") % (2 ** 32))
+                px = rng.integers(0, 256, (src_h, src_w), dtype=np.uint8)
+                # area downsample: mean over (src_h/target_h, src_w/target_w) tiles
+                small = (
+                    px.reshape(target_h, src_h // target_h,
+                               target_w, src_w // target_w)
+                    .mean(axis=(1, 3))
+                    .round()
+                    .astype(np.uint8)
+                )
+                raw = small.tobytes()
+                ids.append(did)
+                sw.append(src_w)
+                sh.append(src_h)
+                out_blob.append(raw)
+                out_sha.append(hashlib.sha256(raw).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "src_w": sw, "src_h": sh,
+                 "resized": out_blob, "resized_sha": out_sha}
+            )
+
+    return src.mapInPandas(
+        resize,
+        schema="doc_id long, src_w int, src_h int, resized binary, resized_sha string",
+    )
+
+
 def frame_sample(df: DataFrame, n_frames: int = 4, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Video-style frame sampling plumbing: one input row -> n_frames

@@ -1099,6 +1099,14 @@ def mm_features(spark, sf_dir):
     return _mm.extract_features(load(spark, sf_dir, "documents"))
 
 
+@register("mm_resize", None)
+def mm_resize(spark, sf_dir):
+    """Image-resize plumbing: fake decode -> numpy area downsample ->
+    binary out via mapInPandas (rows-only; determinism asserted in
+    tests/test_datapipe.py). drop the blob for the gate row count."""
+    return _mm.resize_images(load(spark, sf_dir, "documents")).drop("resized")
+
+
 @register("mm_frame_sample", None)
 def mm_frame_sample(spark, sf_dir):
     """Frame-sampling plumbing: 1 row -> n_frames rows via mapInPandas

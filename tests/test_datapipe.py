@@ -98,3 +98,19 @@ def test_frame_sample_fanout(spark, docs):
     assert out.count() == 4 * n
     one = out.where("doc_id = 0").orderBy("frame_idx").collect()
     assert [r["frame_idx"] for r in one] == [0, 1, 2, 3]
+
+
+def test_mm_resize_deterministic_and_shaped(spark, docs):
+    from lucene_solr_spark.datapipe import multimodal
+
+    a = multimodal.resize_images(docs, target_w=8, target_h=8).orderBy("doc_id").collect()
+    b = multimodal.resize_images(docs, target_w=8, target_h=8).orderBy("doc_id").collect()
+    assert [(r["doc_id"], r["resized_sha"]) for r in a] == [
+        (r["doc_id"], r["resized_sha"]) for r in b]
+    r0 = a[0]
+    assert len(bytes(r0["resized"])) == 8 * 8
+    assert r0["src_w"] % 8 == 0 and r0["src_h"] % 8 == 0
+    import pytest as _pt
+
+    with _pt.raises(NotImplementedError):
+        multimodal.resize_images(docs, fake_decode=False)
