@@ -177,13 +177,17 @@ class IndexReader:
 
 class Searcher:
     def __init__(self, reader: IndexReader, precision: str = "float32",
-                 default_field: Optional[str] = None):
+                 default_field: Optional[str] = None, query_cache=None):
         """default_field: field applied to query leaves that carry none
         (QueryParser's default-field argument, QueryParser.jj:289) —
-        required for natural syntax against multi-field indexes."""
+        required for natural syntax against multi-field indexes.
+        query_cache: optional search.cache.QueryCache — non-term FILTER
+        clause doc sets are persisted and reused across searches
+        (LRUQueryCache.java:60 semantics: DocIdSets, never Scorers)."""
         self.reader = reader
         self.precision = precision
         self.default_field = default_field
+        self.query_cache = query_cache
 
     def _with_default_field(self, q: Query) -> Query:
         if self.default_field is None:
@@ -627,6 +631,18 @@ class Searcher:
             if isinstance(c.query, TermQuery):
                 flat_terms.append((i, term_key(c.query.field, c.query.term),
                                    boost * c.query.boost if c.occur != Occur.FILTER else 1.0))
+            elif c.occur == Occur.FILTER and self.query_cache is not None:
+                # LRUQueryCache: FILTER doc sets are constant-score and
+                # stats-free, so the persisted doc-id frame is reusable
+                cached = self.query_cache.get_or_eval(
+                    c.query, lambda q=c.query: self._eval(q, 1.0)
+                )
+                parts.append(
+                    cached.select(
+                        F.lit(i).cast("int").alias("clause_id"), "doc_id",
+                        F.lit(0.0).alias("score"),
+                    )
+                )
             else:
                 sub = self._eval(c.query, boost if c.occur != Occur.FILTER else 1.0)
                 parts.append(
