@@ -1374,6 +1374,36 @@ def facet_grouping_sets(spark, sf_dir):
     )
 
 
+@register("tpch_q6", """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+WHERE l_shipdate >= CAST('1994-01-01' AS TIMESTAMP)
+  AND l_shipdate < CAST('1995-01-01' AS TIMESTAMP)
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def tpch_q6(spark, sf_dir):
+    """TPC-H Q6 forecasting-revenue: pure filter + global agg — every
+    predicate pushes to the parquet scan (PushedFilters on shipdate/
+    discount/quantity), zero shuffles beyond the final partial+final
+    agg; the sanity probe that the scan-level pruning works."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 @register("join_block_parent", """
 SELECT o_orderkey, round(score, 6) AS score, CAST(n_children AS BIGINT) AS n_children
 FROM (
