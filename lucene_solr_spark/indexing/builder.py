@@ -524,6 +524,7 @@ def build_index(
     fail_after_batch: Optional[int] = None,
     assume_sorted: bool = False,
     fields=None,
+    min_doc_base: int = 0,
 ) -> Manifest:
     """Log-structured index build: one segment per batch, manifest commit
     after each — resumable at batch granularity (north rule). Completed
@@ -543,8 +544,10 @@ def build_index(
         seg_dir = store.segment_dir(seg_name)
         # allocate from the persisted high-water mark, never total_docs:
         # after a purging merge, total_docs < already-assigned max ID and
-        # reusing IDs of live docs would corrupt scoring and deletes
-        doc_base = max(manifest.next_doc_id, manifest.total_docs)
+        # reusing IDs of live docs would corrupt scoring and deletes.
+        # min_doc_base floors a shard's id range (MultiReader requires
+        # disjoint per-shard ranges)
+        doc_base = max(manifest.next_doc_id, manifest.total_docs, min_doc_base)
         counters = build_segment(
             spark, df, seg_dir, doc_base=doc_base,
             analyzer=analyzer, norms=norms, positions=positions,

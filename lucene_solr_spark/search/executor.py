@@ -175,6 +175,72 @@ class IndexReader:
         return sorted(r["term"] for r in rows)
 
 
+class MultiReader:
+    """Union view over several indexes — the MultiReader / sharded-
+    search analog (index/MultiReader.java; Solr distributed search with
+    ExactStatsCache): collection and term statistics are summed across
+    shards BEFORE scoring, so a term's idf is identical on every shard
+    and the merged top-k equals a single-index search (TopDocs.merge
+    needs no score rescaling). The existing Searcher works unchanged on
+    top of this reader.
+
+    Requirement (as in Lucene, where MultiReader rebases per-leaf doc
+    ids): shard doc-id ranges must be disjoint — build each shard with
+    its own doc_base (build_index(..., doc_base=...)); postings blobs
+    carry absolute ids, so the union needs no remapping."""
+
+    def __init__(self, readers: List["IndexReader"]):
+        if not readers:
+            raise ValueError("MultiReader needs at least one reader")
+        self.readers = readers
+        self.spark = readers[0].spark
+        self.norms = readers[0].norms
+        if any(r.norms != self.norms for r in readers):
+            raise ValueError("shards disagree on norms encoding")
+        spans = sorted(
+            (s.doc_base, s.doc_base + s.doc_count)
+            for r in readers for s in r.manifest.segments
+        )
+        for (a1, b1), (a2, b2) in zip(spans, spans[1:]):
+            if b1 > a2:
+                raise ValueError(
+                    f"shard doc ranges overlap: [{a1},{b1}) vs [{a2},{b2}) — "
+                    "build shards with disjoint doc_base ranges"
+                )
+        self.doc_count = sum(r.doc_count for r in readers)
+        self.sum_dl = sum(r.sum_dl for r in readers)
+        self.blocks = _union_all([r.blocks for r in readers])
+        self.stats = _union_all([r.stats for r in readers])
+        self.doc_meta = _union_all([r.doc_meta for r in readers])
+        self.has_deletes = any(r.has_deletes for r in readers)
+        self.deletes = (
+            _union_all([r.deletes for r in readers if r.has_deletes])
+            if self.has_deletes else None
+        )
+        self.field_stats: Dict[str, Tuple[int, int]] = {}
+        for r in readers:
+            for f, (dc, dl) in r.field_stats.items():
+                c0, l0 = self.field_stats.get(f, (0, 0))
+                self.field_stats[f] = (c0 + dc, l0 + dl)
+
+        class _Segs:
+            segments = [s for r in readers for s in r.manifest.segments]
+
+        self.manifest = _Segs()
+
+    live = IndexReader.live
+    term_stats = IndexReader.term_stats
+    collection_stats = IndexReader.collection_stats
+    expand = IndexReader.expand
+
+
+def _union_all(dfs):
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out
+
+
 class Searcher:
     def __init__(self, reader: IndexReader, precision: str = "float32",
                  default_field: Optional[str] = None, query_cache=None):
