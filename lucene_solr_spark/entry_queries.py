@@ -1374,6 +1374,79 @@ def facet_grouping_sets(spark, sf_dir):
     )
 
 
+@register("tpch_q5", """
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o    ON c.c_custkey = o.o_custkey
+JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+JOIN supplier s  ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n    ON s.s_nationkey = n.n_nationkey
+JOIN region r    ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n.n_name ASC
+""")
+def tpch_q5(spark, sf_dir):
+    """TPC-H Q5 local-supplier-volume: 6-table star join — region/
+    nation/supplier dims broadcast, one shuffle for the final agg."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    dims = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r.where(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(dims),
+              (li["l_suppkey"] == dims["s_suppkey"])
+              & (c["c_nationkey"] == dims["s_nationkey"]))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@register("text_unigram_logprob", _ft_sql("""
+SELECT doc_id, round(lp, 6) AS lp FROM (
+  SELECT t.doc_id,
+         avg(ln((SELECT CAST(count(*) AS DOUBLE) FROM toks t2
+                 WHERE t2.term = t.term)
+                / (SELECT count(*) FROM toks))) AS lp
+  FROM toks t GROUP BY t.doc_id
+)
+ORDER BY round(lp, 6) DESC, doc_id ASC LIMIT 50
+"""))
+def text_unigram_logprob(spark, sf_dir):
+    """Unigram language-model quality score: mean ln p(term) per doc
+    under the corpus unigram model — the cheap LM-perplexity proxy a
+    training-data pipeline uses to rank fluent vs junk text (CCNet-
+    style filtering). One tokenize scan + a term-probability join."""
+    idx = ft(spark, sf_dir)
+    total = float(idx.stats.total_tokens)
+    probs = (
+        idx.toks.groupBy("term")
+        .agg((F.count(F.lit(1)).cast("double") / F.lit(total)).alias("p"))
+    )
+    return (
+        idx.toks.join(probs, "term")
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(F.log(F.col("p"))), 6).alias("lp"))
+        .orderBy(F.desc("lp"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
 @register("tpch_q6", """
 SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
        CAST(count(*) AS BIGINT) AS n
