@@ -42,8 +42,12 @@ def cmd_index(args) -> dict:
         fields = []
         for spec in args.fields.split(","):
             parts = spec.split(":")
-            fields.append(tuple(parts) if len(parts) == 3
-                          else (parts[0], parts[-1]))
+            if len(parts) not in (2, 3):
+                raise SystemExit(
+                    f"--fields: bad spec {spec!r} "
+                    "(want name:source_col[:analyzer])"
+                )
+            fields.append(tuple(parts))
     t0 = time.time()
     m = build_index(spark, args.index, [(args.batch, corpus)],
                     assume_sorted=args.sorted, fields=fields)

@@ -1461,6 +1461,7 @@ def tpch_q6(spark, sf_dir):
     predicate pushes to the parquet scan (PushedFilters on shipdate/
     discount/quantity), zero shuffles beyond the final partial+final
     agg; the sanity probe that the scan-level pruning works."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     li = load(spark, sf_dir, "lineitem")
     return (
         li.where(
@@ -1864,6 +1865,7 @@ def func_recip_boost(spark, sf_dir):
     """Solr recip(ms(NOW,ts),m,a,b) recency boost (function query,
     ValueSourceParser 'recip'): score = value * a/(m*x+b) with x = age
     seconds from a fixed NOW — a codegen'd expression, no UDF."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load(spark, sf_dir, "events")
     age_s = (
         F.lit(1719792000.0)  # epoch of 2024-07-01 00:00:00 UTC

@@ -54,6 +54,18 @@ def _stats_aggs(facet: dict) -> List:
     return aggs
 
 
+def _scope_to_kept(df, ancestors, kept):
+    """Push the kept-ancestor filter INTO the plan (per-level isin — a
+    superset of the kept tuples, bounded by the product of parent
+    limits) so nested aggregations and their driver collects stay
+    bounded regardless of parent-field cardinality."""
+    if not kept:
+        return df
+    for i, (_, expr) in enumerate(ancestors):
+        df = df.where(expr.isin(list({k[i] for k in kept})))
+    return df
+
+
 def _split_facets(facet: dict):
     stats = [n for n, s in facet.items() if isinstance(s, str)]
     subs = [(n, s) for n, s in facet.items() if not isinstance(s, str)]
@@ -90,8 +102,8 @@ def _eval(df: DataFrame, ancestors: List[Tuple[str, object]],
             for name, sub in subs:
                 node[name] = _eval(matched, [], None, sub)[()]
             return {(): node}
-        # one conditional aggregation over ALL ancestor tuples at once
-        g = matched.groupBy(*anc_cols).agg(
+        # one conditional aggregation, scoped to the kept ancestors
+        g = _scope_to_kept(matched, ancestors, kept).groupBy(*anc_cols).agg(
             F.count(F.lit(1)).alias("count"), *_stats_aggs(facet)
         )
         res: Dict[tuple, dict] = {}
@@ -115,9 +127,10 @@ def _eval(df: DataFrame, ancestors: List[Tuple[str, object]],
     # limits applied per ancestor tuple via a window row_number
     bexpr = _bucket_col(req)
     base = df.where(F.col(req["field"]).isNotNull())
+    scoped = _scope_to_kept(base, ancestors, kept)
     limit = int(req.get("limit", 10))
     by_index = req.get("sort", "count") == "index"
-    g = base.groupBy(*anc_cols, bexpr.alias("__val")).agg(
+    g = scoped.groupBy(*anc_cols, bexpr.alias("__val")).agg(
         F.count(F.lit(1)).alias("count"), *_stats_aggs(facet)
     )
     if ancestors:
@@ -160,6 +173,8 @@ def _eval(df: DataFrame, ancestors: List[Tuple[str, object]],
 
 
 def _empty_node(req: dict) -> dict:
+    stats = [n for n, sub in (req.get("facet") or {}).items()
+             if isinstance(sub, str)]
     if req.get("type", "terms") == "query":
-        return {"count": 0}
+        return {"count": 0, **{n: None for n in stats}}
     return {"buckets": []}

@@ -191,7 +191,9 @@ def run_merge(spark, store: ManifestStore, manifest: Manifest,
     # multi-field indexes: recompute per-field (docCount, sum_dl) over
     # the LIVE docs — purged docs drop out of the field stats here,
     # exactly when Lucene's FieldInfos stats shed deletions
-    field_names = [c[len("fdl_"):] for c in meta_out.columns if c.startswith("fdl_")]
+    from ..fields import field_stats_from_meta_cols
+
+    field_names = field_stats_from_meta_cols(meta_out.columns)
     aggs = [F.count(F.lit(1)).alias("n"), F.sum("length").alias("dl")]
     for fn in field_names:
         aggs.append(F.sum(f"fdl_{fn}").alias(f"dl_{fn}"))

@@ -28,11 +28,16 @@ class QueryCache:
         self.hits = 0
         self.misses = 0
 
-    def get_or_eval(self, query, eval_fn: Callable[[], object]):
-        """Return the cached doc-set frame for `query`, computing and
-        persisting it on miss (and evicting the least-recently-used
-        entry past capacity)."""
-        key = repr(query)
+    def get_or_eval(self, query, eval_fn: Callable[[], object],
+                    scope: str = ""):
+        """Return the cached doc-set frame for `query` within `scope`,
+        computing and persisting it on miss (and evicting the least-
+        recently-used entry past capacity). `scope` identifies the
+        index VIEW the doc set came from (index dir + manifest
+        generation — LRUQueryCache keys per leaf reader for the same
+        reason): without it, a cache shared across readers or across
+        index generations would serve stale or foreign doc sets."""
+        key = f"{scope}\x00{query!r}"
         df = self._entries.get(key)
         if df is not None:
             self.hits += 1

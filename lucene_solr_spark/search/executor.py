@@ -93,6 +93,9 @@ class IndexReader:
         # "docFreq ignores deletions") until a merge purges them
         self.has_deletes = bool(delete_generations(index_dir))
         self.deletes = deleted_docs_df(spark, index_dir) if self.has_deletes else None
+        # identifies this index VIEW for the query cache (dir +
+        # generation: a commit invalidates cached doc sets)
+        self.cache_scope = f"{index_dir}@{self.manifest.generation}"
         # per-field CollectionStatistics (FieldInfos analog): summed
         # across segments from the manifest — no data scan needed
         self.field_stats: Dict[str, Tuple[int, int]] = {}
@@ -222,6 +225,7 @@ class MultiReader:
             for f, (dc, dl) in r.field_stats.items():
                 c0, l0 = self.field_stats.get(f, (0, 0))
                 self.field_stats[f] = (c0 + dc, l0 + dl)
+        self.cache_scope = "+".join(r.cache_scope for r in readers)
 
         class _Segs:
             segments = [s for r in readers for s in r.manifest.segments]
@@ -635,9 +639,12 @@ class Searcher:
         # only unmerged segments under the span bound, skip the
         # wide-term probe job entirely — the common case pays one job,
         # not two.
+        # strict bound: a chunk-misaligned block spanning doc_count docs
+        # can touch floor((doc_count-1)/chunk)+2 chunks, so require
+        # doc_count <= (MAX-1) chunks' worth to make wide truly impossible
         wide_impossible = all(
             not s.name.startswith("seg_m_")
-            and s.doc_count <= (MAX_CHUNKS_PER_BLOCK << CHUNK_BITS)
+            and s.doc_count <= ((MAX_CHUNKS_PER_BLOCK - 1) << CHUNK_BITS)
             for s in self.reader.manifest.segments
         )
         if wide_impossible:
@@ -701,7 +708,8 @@ class Searcher:
                 # LRUQueryCache: FILTER doc sets are constant-score and
                 # stats-free, so the persisted doc-id frame is reusable
                 cached = self.query_cache.get_or_eval(
-                    c.query, lambda q=c.query: self._eval(q, 1.0)
+                    c.query, lambda q=c.query: self._eval(q, 1.0),
+                    scope=getattr(self.reader, "cache_scope", ""),
                 )
                 parts.append(
                     cached.select(

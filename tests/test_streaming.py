@@ -167,9 +167,8 @@ def test_streaming_first_seen_dedup(spark, tmp_path_factory):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    assert q.lastProgress is None or spark.sql(
-        "SELECT 1").count() == 1  # query finished
+    finished = q.awaitTermination(300)
+    assert finished, "stream did not finish within the timeout"
     rows = {
         r["k"]: (r["seq"], r["v"])
         for r in spark.sql("SELECT * FROM first_seen_t").collect()
