@@ -16,7 +16,10 @@ def test_pyfiles_zip_importable(tmp_path):
         "import lucene_solr_spark, lucene_solr_spark.codec, "
         "lucene_solr_spark.indexing.builder, lucene_solr_spark.search.executor, "
         "lucene_solr_spark.datapipe.dedup, lucene_solr_spark.streaming, "
-        "lucene_solr_spark.sources, lucene_solr_spark.fulltext; "
+        "lucene_solr_spark.sources, lucene_solr_spark.fulltext, "
+        "lucene_solr_spark.fields, lucene_solr_spark.geo, "
+        "lucene_solr_spark.sql, lucene_solr_spark.search.cache, "
+        "lucene_solr_spark.indexing.check, lucene_solr_spark.facets; "
         "print('zip-ok')" % out
     )
     r = subprocess.run([sys.executable, "-c", code], capture_output=True,
