@@ -192,6 +192,23 @@ def analyze_field(text: str, analyzer: str):
         return _positions_of(
             [f"{a} {b}" for a, b in zip(toks, toks[1:])]
         )
+    if analyzer == "edge_ngram":
+        # EdgeNGramTokenFilter(minGram=2, maxGram=5) over simple tokens:
+        # all grams of a token share its position (overlap tokens), and
+        # the BM25 field length counts source tokens only — Lucene's
+        # posIncr==0 overlap discount (FieldInvertState.numOverlap).
+        # Index-time edge n-grams turn prefix search into exact term
+        # lookup (the autocomplete pattern, no wildcard expansion).
+        toks = simple_analyze(text, stop=False)
+        per: dict = {}
+        for i, t in enumerate(toks):
+            for gl in range(2, min(len(t), 5) + 1):
+                g = t[:gl]
+                lst = per.get(g)
+                if lst is None:
+                    per[g] = lst = []
+                lst.append(i)
+        return per, len(toks)
     raise ValueError(f"unknown analyzer: {analyzer}")
 
 

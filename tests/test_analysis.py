@@ -133,3 +133,15 @@ class TestFieldAnalyzerRegistry:
 
         text = "The quick brown-fox can't stop; version 1.2.3 is HERE"
         assert analyze_field(text, "standard") == invert_tokens(text)
+
+    def test_edge_ngram(self):
+        from lucene_solr_spark.analysis import analyze_field
+
+        per, length = analyze_field("spark sql", "edge_ngram")
+        assert length == 2  # field length counts SOURCE tokens
+        assert per["sp"] == [0] and per["spa"] == [0] and per["spark"] == [0]
+        assert per["sq"] == [1] and per["sql"] == [1]
+        assert "s" not in per  # below minGram
+        # shared prefix across tokens accumulates positions
+        per2, _ = analyze_field("spa spark", "edge_ngram")
+        assert per2["sp"] == [0, 1] and per2["spa"] == [0, 1]

@@ -234,3 +234,21 @@ def test_field_scoped_wand_rank_identical(mf_searcher):
     a, b = mf_searcher.search(q2, k=10), mf_searcher.search(q2, k=10, prune=True)
     assert list(a["doc_id"]) == list(b["doc_id"])
     assert list(a["score"]) == list(b["score"])
+
+
+def test_edge_ngram_field_prefix_as_term(spark, mf_corpus, tmp_path):
+    """An edge_ngram-analyzed field answers prefix lookups with an
+    EXACT term query — the index-time autocomplete pattern that avoids
+    dictionary expansion at query time."""
+    from lucene_solr_spark.indexing.builder import build_index
+    from lucene_solr_spark.search.executor import IndexReader, Searcher
+
+    idx = str(tmp_path / "ac")
+    build_index(
+        spark, idx, [("b0", spark.createDataFrame(mf_corpus))],
+        fields=[("body", "body", "standard"), ("ac", "title", "edge_ngram")],
+    )
+    s = Searcher(IndexReader(spark, idx))
+    hits = s.search(TermQuery(term="vect", field="ac"), k=len(mf_corpus))
+    mask = mf_corpus["title"].str.contains(r"\bvect")
+    assert set(hits["doc_id"]) == set(np.flatnonzero(mask.to_numpy()).tolist())
