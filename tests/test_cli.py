@@ -52,3 +52,49 @@ def test_cli_workflow(tmp_path, tiny_corpus_pdf):
     merged = run_cli("merge", "--index", idx, "--force", "1")
     assert merged["segments"] == 1
     assert merged["docs"] == len(tiny_corpus_pdf) - deleted
+
+
+def test_cli_multifield_and_check_inprocess(spark, tmp_path, tiny_corpus_pdf, capsys):
+    """The new subcommands (multi-field index, default-field search,
+    field delete, check) driven in-process — getOrCreate reuses the
+    test session, so no subprocess JVM per command."""
+    from lucene_solr_spark.__main__ import main
+
+    corpus = str(tmp_path / "c.parquet")
+    tiny_corpus_pdf.to_parquet(corpus, index=False)
+    idx = str(tmp_path / "mfidx")
+
+    def run(*argv):
+        assert main(list(argv)) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    out = run("index", "--corpus", corpus, "--index", idx, "--batch", "b0",
+              "--fields", "body:content:standard,lang:lang:keyword")
+    assert out["docs"] == len(tiny_corpus_pdf)
+
+    hits = run("search", "--index", idx, "--query", "import",
+               "--default-field", "body", "-k", "5")
+    assert len(hits["hits"]) == 5
+
+    langval = tiny_corpus_pdf["lang"].iloc[0]
+    hits2 = run("search", "--index", idx, "--query", f"lang:{langval}", "-k", "3")
+    assert len(hits2["hits"]) > 0
+
+    rep = run("check", "--index", idx)
+    assert rep["clean"] is True
+
+    deleted = run("delete", "--index", idx, "--terms", langval, "--field", "lang")
+    assert deleted["deleted"] == int((tiny_corpus_pdf["lang"] == langval).sum())
+
+    rep2 = run("check", "--index", idx, "--fast")
+    assert rep2["clean"] is True
+
+
+def test_cli_rejects_bad_fields_spec(spark, tmp_path, tiny_corpus_pdf):
+    from lucene_solr_spark.__main__ import main
+
+    corpus = str(tmp_path / "c2.parquet")
+    tiny_corpus_pdf.to_parquet(corpus, index=False)
+    with pytest.raises(SystemExit, match="bad spec"):
+        main(["index", "--corpus", corpus, "--index", str(tmp_path / "x"),
+              "--fields", "a:b:c:d"])
