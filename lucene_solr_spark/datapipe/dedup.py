@@ -129,21 +129,21 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
 
 def simhash_fingerprints(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, simhash): 60-bit SimHash. Per (doc, term): tf-weighted
-    ±1 vote per bit of h60(term); fingerprint bit b set iff vote sum
-    > 0. One groupBy(doc) with 60 conditional integer sums — map-side
-    combine, single shuffle, no UDF, exact integer math."""
+    """(doc_id, simhash): 60-bit SimHash. tf-weighted ±1 votes per bit
+    of h60(term) are identical to per-OCCURRENCE ±1 sums, so the
+    (doc, term) tf pre-aggregation is skipped entirely: ONE
+    groupBy(doc) with 60 conditional integer sums straight off the
+    exploded tokens — map-side combine, single shuffle, no UDF, exact
+    integer math."""
     toks = (
         df.select(F.col(id_col).alias("doc_id"),
                   F.explode(tokens_array(F.col(text_col))).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("h", h60(F.col("term")))
     )
     votes = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
-            .otherwise(-F.col("tf"))
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
         ).alias(f"v{b}")
         for b in range(SIMHASH_BITS)
     ]
