@@ -162,6 +162,14 @@ def main() -> None:
         "index_build": index_build,
         "query_p50_ms": round(p50_ms, 1),
     }
+    # fold the north-rule two-parallelism-level evidence (written by
+    # scaling_bench.py on a quiet machine) into the official artifact
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "SCALING.json")) as f:
+            out["scaling"] = json.load(f)
+    except OSError:
+        pass
     line = json.dumps(out)
 
     # Durable record first: the round-1 driver run lost its entire perf
