@@ -250,3 +250,57 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8,
         withsigs.select("a", "b", F.round(est, 6).alias("est_jaccard"))
         .where(F.col("est_jaccard") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate-group clustering (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, ids: DataFrame,
+                         max_iter: int = 25) -> DataFrame:
+    """(doc_id, component): component = min doc_id reachable through
+    the pair graph; docs with no pair form singleton components. The
+    step a training pipeline runs after near-dup discovery (SimHash /
+    MinHash pairs) to pick ONE canonical doc per duplicate cluster —
+    transitive closure, not just pairwise dedup.
+
+    Algorithm: hash-min label propagation. Each round every node takes
+    the min label among itself and its neighbors — one join + one
+    groupBy(min) per round, converging in O(graph diameter) rounds.
+    Near-dup clusters are small and dense (diameter 2-4), so 3-5
+    rounds in practice; convergence is detected by the monotone
+    sum-of-labels invariant (labels only ever decrease, so an
+    unchanged sum IS the fixpoint — one cheap driver-side scalar per
+    round, no change-count join). Scale notes (100 TB): lineage is
+    truncated every round with localCheckpoint so the plan stays flat;
+    each round is one shuffle on doc_id; no driver-side data beyond
+    the 1-row sum. For adversarial graphs with large diameters the
+    alternating large-star/small-star variant (Kiveris et al. 2014,
+    "Connected Components in MapReduce") drops rounds to O(log n);
+    near-dup graphs never need it.
+
+    pairs: (a, b) columns, one row per undirected edge.
+    ids: one row per node with column doc_id (defines the universe).
+    """
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    )
+    labels = ids.select(F.col("doc_id"), F.col("doc_id").alias("component"))
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .select(F.col("dst").alias("doc_id"), "component")
+        )
+        labels = (
+            labels.union(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        cur = labels.agg(F.sum("component")).collect()[0][0]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels

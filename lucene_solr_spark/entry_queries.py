@@ -892,6 +892,53 @@ def dedup_simhash_pairs(spark, sf_dir):
     )
 
 
+@register("dedup_components",
+          _SIMHASH_FP_SQL.replace("WITH ", "WITH RECURSIVE ", 1) + """,
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst FROM pairs
+),
+reach AS (
+  SELECT doc_id AS id, doc_id AS lbl FROM documents
+  UNION
+  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS component
+FROM reach GROUP BY id
+""")
+def dedup_components(spark, sf_dir):
+    """Duplicate-cluster assignment: connected components (hash-min
+    label propagation, O(diameter) rounds, one shuffle/round) over the
+    SimHash hamming<=3 near-dup graph — transitive closure so each
+    duplicate CLUSTER gets one canonical id, not just pairwise links.
+    Oracle: DuckDB recursive CTE computing min reachable doc_id."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = _dedup.simhash_near_pairs(docs, max_hamming=3)
+    return _dedup.connected_components(pairs, docs.select("doc_id"))
+
+
+@register("text_logit_train", None)
+def text_logit_train(spark, sf_dir):
+    """TextLogitStream analog (solrj/io/stream/TextLogitStream.java):
+    distributed logistic regression over term-tf features, label =
+    (lang = 'en'). One aggregation per training iteration (shard
+    partial-gradient contract); rows-only check — iterative FP
+    training isn't SQL-portable; numpy parity in tests/test_textml.py."""
+    from .datapipe import textml
+
+    docs = load(spark, sf_dir, "documents")
+    return textml.logit_train_df(
+        spark, docs,
+        ["spark", "join", "query", "scan", "hash", "merge"],
+        F.col("lang") == "en", iterations=8, lr=2.0)
+
+
 @register("dedup_minhash_lsh", None)
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(32)+LSH(8 bands) candidate pairs, est_jaccard >= 0.5 —
@@ -1301,6 +1348,66 @@ def ft_dfr_inl2(spark, sf_dir):
     NormalizationH2, c=1): tfn = tf*log2(1+avgdl/dl), score =
     tfn*log2((N+1)/(df+0.5))/(tfn+1)."""
     return ft(spark, sf_dir).dfr_inl2_term_query("spark", k=10)
+
+
+@register("ft_dfi_chi2", _ft_sql("""
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT p.doc_id,
+         ln((p.tf - ((SELECT CAST(sum(tf) AS DOUBLE) FROM post WHERE term = 'spark') + 1.0)
+                      * l.dl / ((SELECT count(*) FROM toks) + 1.0))
+            * (p.tf - ((SELECT CAST(sum(tf) AS DOUBLE) FROM post WHERE term = 'spark') + 1.0)
+                      * l.dl / ((SELECT count(*) FROM toks) + 1.0))
+            / (((SELECT CAST(sum(tf) AS DOUBLE) FROM post WHERE term = 'spark') + 1.0)
+                      * l.dl / ((SELECT count(*) FROM toks) + 1.0))
+            + 1.0) / ln(2) AS score
+  FROM post p JOIN dl l USING (doc_id)
+  WHERE p.term = 'spark'
+    AND p.tf > ((SELECT CAST(sum(tf) AS DOUBLE) FROM post WHERE term = 'spark') + 1.0)
+                 * l.dl / ((SELECT count(*) FROM toks) + 1.0)
+)
+ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10
+"""))
+def ft_dfi_chi2(spark, sf_dir):
+    """DFI chi-squared (DFISimilarity.java:69-77): expected =
+    (ttf+1)*dl/(sumTotalTermFreq+1), score = log2(chi2+1) for docs
+    whose tf exceeds the independence expectation."""
+    return ft(spark, sf_dir).dfi_term_query("spark", k=10)
+
+
+@register("ft_ib_spl", _ft_sql("""
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT p.doc_id,
+         -(ln((pow((f.df + 1.0) / ((SELECT n FROM stats) + 1.0),
+                   (p.tf * (ln(1 + 1.0 * (SELECT avgdl FROM stats) / l.dl) / ln(2)))
+                   / ((p.tf * (ln(1 + 1.0 * (SELECT avgdl FROM stats) / l.dl) / ln(2))) + 1.0))
+               - (f.df + 1.0) / ((SELECT n FROM stats) + 1.0))
+              / (1 - (f.df + 1.0) / ((SELECT n FROM stats) + 1.0))) / ln(2)) AS score
+  FROM post p JOIN dfs f USING (term) JOIN dl l USING (doc_id)
+  WHERE p.term = 'spark'
+)
+ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10
+"""))
+def ft_ib_spl(spark, sf_dir):
+    """IB SPL-D-H2 (IBSimilarity.java:93-99, DistributionSPL +
+    LambdaDF + NormalizationH2): lambda=(df+1)/(N+1),
+    tfn=tf*log2(1+avgdl/dl), score=-log2((lam^(tfn/(tfn+1))-lam)/(1-lam))."""
+    return ft(spark, sf_dir).ib_spl_term_query("spark", k=10)
+
+
+@register("ft_axiomatic_f2exp", _ft_sql("""
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT p.doc_id,
+         (p.tf / (p.tf + 0.5 + 0.5 * l.dl / (SELECT avgdl FROM stats)))
+           * pow(((SELECT n FROM stats) + 1) * 1.0 / f.df, 0.35) AS score
+  FROM post p JOIN dfs f USING (term) JOIN dl l USING (doc_id)
+  WHERE p.term = 'spark'
+)
+ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10
+"""))
+def ft_axiomatic_f2exp(spark, sf_dir):
+    """Axiomatic F2EXP (AxiomaticF2EXP.java:52-74, s=0.5, k=0.35):
+    score = tf/(tf + s + s*dl/avgdl) * ((N+1)/df)^k."""
+    return ft(spark, sf_dir).axiomatic_f2exp_term_query("spark", k=10)
 
 
 @register("ft_sloppy_phrase", _ft_sql("""
@@ -1816,6 +1923,79 @@ def ft_span_near(spark, sf_dir):
     proximity generalizing the phrase position-join machinery
     (spans/SpanNearQuery.java:42; weights 1/(dist+1))."""
     return ft(spark, sf_dir).span_near(["hash", "join", "scan"], slop=4, k=10)
+
+
+@register("ft_span_or", _ft_sql("""
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT f.doc_id,
+         ((SELECT ln(1 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5))
+             FROM dfs WHERE term = 'hash')
+          + (SELECT ln(1 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5))
+             FROM dfs WHERE term = 'scan'))
+           * (f.tf * 2.2)
+           / (f.tf + 1.2 * (0.25 + 0.75 * l.dl / (SELECT avgdl FROM stats)))
+           AS score
+  FROM (
+    SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS tf
+    FROM post WHERE term IN ('hash', 'scan') GROUP BY doc_id
+  ) f JOIN dl l USING (doc_id)
+)
+ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10
+"""))
+def ft_span_or(spark, sf_dir):
+    """SpanOrQuery(hash, scan) — union of term spans, freq = summed
+    occurrences, idf = sum over the enclosed terms' stats
+    (spans/SpanOrQuery.java:38; SpanWeight.buildSimWeight)."""
+    return ft(spark, sf_dir).span_or(["hash", "scan"], k=10)
+
+
+@register("ft_span_first", _ft_sql("""
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT f.doc_id,
+         (SELECT ln(1 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5))
+            FROM dfs WHERE term = 'spark')
+           * (f.tf * 2.2)
+           / (f.tf + 1.2 * (0.25 + 0.75 * l.dl / (SELECT avgdl FROM stats)))
+           AS score
+  FROM (
+    SELECT doc_id, CAST(count(*) AS DOUBLE) AS tf
+    FROM postoks WHERE term = 'spark' AND pos <= 10 GROUP BY doc_id
+  ) f JOIN dl l USING (doc_id)
+)
+ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10
+""", positions=True))
+def ft_span_first(spark, sf_dir):
+    """SpanFirstQuery(spark, end=10) — spans ending within the first 10
+    positions (spans/SpanFirstQuery.java:33); freq = matching
+    occurrences only."""
+    return ft(spark, sf_dir).span_first("spark", end=10, k=10)
+
+
+@register("ft_span_not", _ft_sql("""
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT f.doc_id,
+         (SELECT ln(1 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5))
+            FROM dfs WHERE term = 'hash')
+           * (f.tf * 2.2)
+           / (f.tf + 1.2 * (0.25 + 0.75 * l.dl / (SELECT avgdl FROM stats)))
+           AS score
+  FROM (
+    SELECT a.doc_id, CAST(count(*) AS DOUBLE) AS tf
+    FROM postoks a
+    WHERE a.term = 'hash' AND NOT EXISTS (
+      SELECT 1 FROM postoks b
+      WHERE b.doc_id = a.doc_id AND b.term = 'join'
+        AND b.pos BETWEEN a.pos - 1 AND a.pos + 1)
+    GROUP BY a.doc_id
+  ) f JOIN dl l USING (doc_id)
+)
+ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10
+""", positions=True))
+def ft_span_not(spark, sf_dir):
+    """SpanNotQuery(hash, join, pre=1, post=1) — 'hash' occurrences
+    with no adjacent 'join' (spans/SpanNotQuery.java:44); positional
+    left-anti join."""
+    return ft(spark, sf_dir).span_not("hash", "join", pre=1, post=1, k=10)
 
 
 @register("ft_feature_saturation", _ft_sql("""

@@ -498,6 +498,84 @@ class FulltextIndex:
         )
         return _topk(sc, k)
 
+    def dfi_term_query(self, term: str, k: int = 10) -> DataFrame:
+        """TermQuery under DFI chi-squared (similarities/
+        DFISimilarity.java:69-77 + IndependenceChiSquared): expected =
+        (ttf + 1) * dl / (sumTotalTermFreq + 1); docs with tf <=
+        expected score 0 and are dropped (documented deviation: Lucene
+        keeps them as 0-score hits, which never reach a top-k over
+        positive-score docs); measure = (tf - expected)^2 / expected;
+        score = log2(measure + 1)."""
+        st = self.stats
+        ttf = term_ttfs(self.toks, [term])[term]
+        if ttf == 0:
+            return self.df.sparkSession.createDataFrame([], "doc_id long, score double")
+        tf_d = F.col("tf").cast("double")
+        dl_d = F.col("dl").cast("double")
+        expected = F.lit(ttf + 1.0) * dl_d / F.lit(st.total_tokens + 1.0)
+        chi2 = (tf_d - expected) * (tf_d - expected) / expected
+        score = F.log(chi2 + F.lit(1.0)) / F.log(F.lit(2.0))
+        sc = (
+            self.post.where(F.col("term") == term)
+            .join(self.dl, "doc_id")
+            .where(tf_d > expected)
+            .select("doc_id", score.alias("score"))
+        )
+        return _topk(sc, k)
+
+    def ib_spl_term_query(self, term: str, k: int = 10,
+                          c: float = 1.0) -> DataFrame:
+        """TermQuery under IB SPL-D-H2 (similarities/IBSimilarity.java:
+        93-99 with DistributionSPL + LambdaDF + NormalizationH2):
+        lambda = (df + 1)/(N + 1); tfn = tf * log2(1 + c*avgdl/dl);
+        score = -log2((lambda^(tfn/(tfn+1)) - lambda) / (1 - lambda))."""
+        st = self.stats
+        dfs = term_dfs(self.post, [term])
+        if dfs[term] == 0:
+            return self.df.sparkSession.createDataFrame([], "doc_id long, score double")
+        lam = (dfs[term] + 1.0) / (st.doc_count + 1.0)
+        tf_d = F.col("tf").cast("double")
+        dl_d = F.col("dl").cast("double")
+        ln2 = F.log(F.lit(2.0))
+        tfn = tf_d * (F.log(F.lit(1.0) + F.lit(c) * F.lit(st.avgdl) / dl_d) / ln2)
+        score = -(
+            F.log(
+                (F.pow(F.lit(lam), tfn / (tfn + F.lit(1.0))) - F.lit(lam))
+                / F.lit(1.0 - lam)
+            )
+            / ln2
+        )
+        sc = (
+            self.post.where(F.col("term") == term)
+            .join(self.dl, "doc_id")
+            .select("doc_id", score.alias("score"))
+        )
+        return _topk(sc, k)
+
+    def axiomatic_f2exp_term_query(self, term: str, k: int = 10,
+                                   s: float = 0.5,
+                                   k_param: float = 0.35) -> DataFrame:
+        """TermQuery under Axiomatic F2EXP (similarities/
+        AxiomaticF2EXP.java:52-74, s=0.5, k=0.35): score =
+        tf/(tf + s + s*dl/avgdl) * ((N+1)/df)^k — the tfln * idf
+        product (gamma = 0 for F2EXP)."""
+        st = self.stats
+        dfs = term_dfs(self.post, [term])
+        if dfs[term] == 0:
+            return self.df.sparkSession.createDataFrame([], "doc_id long, score double")
+        tf_d = F.col("tf").cast("double")
+        dl_d = F.col("dl").cast("double")
+        tfln = tf_d / (tf_d + F.lit(s) + F.lit(s) * dl_d / F.lit(st.avgdl))
+        idf = F.pow(
+            F.lit(float(st.doc_count + 1)) / F.lit(float(dfs[term])), F.lit(k_param))
+        score = tfln * idf
+        sc = (
+            self.post.where(F.col("term") == term)
+            .join(self.dl, "doc_id")
+            .select("doc_id", score.alias("score"))
+        )
+        return _topk(sc, k)
+
     def sloppy_phrase(self, t1: str, t2: str, slop: int = 2, k: int = 10) -> DataFrame:
         """Two-term sloppy phrase (SloppyPhraseMatcher; weight
         1/(distance+1), BM25Similarity.sloppyFreq:77-79): positions
@@ -555,6 +633,84 @@ class FulltextIndex:
         sc = freq.join(self.dl, "doc_id").select(
             "doc_id",
             bm25_expr(F.col("tf"), F.col("dl"), idf_sum, st.avgdl).alias("score"))
+        return _topk(sc, k)
+
+    def span_or(self, terms: Sequence[str], k: int = 10) -> DataFrame:
+        """SpanOrQuery over SpanTermQuery sub-spans (spans/
+        SpanOrQuery.java:38): matches wherever ANY sub-span matches.
+        Single-term spans have width 0, so each occurrence contributes
+        slop factor 1 (SpanScorer freq accumulation) and the doc freq
+        is the summed tf across the terms; the span weight's stats are
+        built over ALL the enclosed terms (SpanWeight.buildSimWeight
+        collects every termContext), so idf = sum of per-term idfs.
+        One hash agg over the postings relation — no position join
+        needed because term spans never overlap themselves."""
+        st = self.stats
+        dfs = term_dfs(self.post, list(terms))
+        idf_sum = sum(st.idf(dfs[t]) for t in terms)
+        freq = (
+            self.post.where(F.col("term").isin(list(terms)))
+            .groupBy("doc_id")
+            .agg(F.sum("tf").cast("double").alias("tf"))
+        )
+        sc = freq.join(self.dl, "doc_id").select(
+            "doc_id",
+            bm25_expr(F.col("tf"), F.col("dl"), idf_sum, st.avgdl).alias("score"))
+        return _topk(sc, k)
+
+    def span_first(self, term: str, end: int, k: int = 10) -> DataFrame:
+        """SpanFirstQuery (spans/SpanFirstQuery.java:33) =
+        SpanPositionRangeQuery(0, end): keep spans that END at or
+        before `end`. With this engine's 1-based positions a term span
+        at pos p has Lucene end() == p, so it matches iff pos <= end.
+        freq = number of matching positions, scored BM25 with the
+        term's own idf (SpanTermQuery carries the term's stats)."""
+        st = self.stats
+        dfs = term_dfs(self.post, [term])
+        if dfs[term] == 0:
+            return self.df.sparkSession.createDataFrame([], "doc_id long, score double")
+        idf = st.idf(dfs[term])
+        freq = (
+            self.toks.where((F.col("term") == term) & (F.col("pos") <= end))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        )
+        sc = freq.join(self.dl, "doc_id").select(
+            "doc_id",
+            bm25_expr(F.col("tf"), F.col("dl"), idf, st.avgdl).alias("score"))
+        return _topk(sc, k)
+
+    def span_not(self, include: str, exclude: str, pre: int = 0,
+                 post: int = 0, k: int = 10) -> DataFrame:
+        """SpanNotQuery (spans/SpanNotQuery.java:44): spans of
+        `include` that have NO `exclude` span within `pre` positions
+        before or `post` positions after. For single-term spans an
+        include occurrence at p survives iff no exclude occurrence q
+        satisfies p - pre <= q <= p + post. Plan: positional left-anti
+        join on (doc_id, range predicate) — the exclusion analog of the
+        phrase position join; freq = surviving occurrences, BM25 with
+        the include term's idf (the exclusion does not contribute
+        stats, mirroring SpanNotWeight)."""
+        st = self.stats
+        dfs = term_dfs(self.post, [include])
+        if dfs[include] == 0:
+            return self.df.sparkSession.createDataFrame([], "doc_id long, score double")
+        idf = st.idf(dfs[include])
+        a = self.toks.where(F.col("term") == include).select("doc_id", "pos")
+        b = self.toks.where(F.col("term") == exclude).select(
+            F.col("doc_id").alias("d_"), F.col("pos").alias("q"))
+        survivors = a.join(
+            b,
+            (a["doc_id"] == b["d_"])
+            & (F.col("q") >= F.col("pos") - pre)
+            & (F.col("q") <= F.col("pos") + post),
+            "left_anti",
+        )
+        freq = survivors.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("double").alias("tf"))
+        sc = freq.join(self.dl, "doc_id").select(
+            "doc_id",
+            bm25_expr(F.col("tf"), F.col("dl"), idf, st.avgdl).alias("score"))
         return _topk(sc, k)
 
     def suggest(self, prefix: str, n: int = 10) -> DataFrame:

@@ -1,0 +1,97 @@
+"""Span-family queries (SpanOr/SpanFirst/SpanNot), the DFI/IB/Axiomatic
+similarities, and connected-components duplicate clustering — semantics
+the DuckDB gate checks only on the synthetic corpus; here on hand-built
+docs where the expected matches are enumerable by eye.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from lucene_solr_spark.fulltext import FulltextIndex
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    rows = [
+        (0, "alpha beta gamma delta"),
+        (1, "alpha alpha beta"),
+        (2, "gamma delta epsilon"),
+        (3, "zeta eta theta iota kappa mu nu xi omicron pi rho sigma alpha"),
+        (4, "beta gamma beta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return FulltextIndex(df, stop=False)
+
+
+def test_span_or_freq_is_summed_tf(idx):
+    got = {r["doc_id"]: r["score"] for r in idx.span_or(["alpha", "beta"], k=10).collect()}
+    # every doc containing either term matches
+    assert set(got) == {0, 1, 3, 4}
+    # doc 1 has alpha x2 + beta x1 = freq 3; doc 4 beta x2 = freq 2;
+    # same dl (3) => doc 1 must outrank doc 4
+    assert got[1] > got[4]
+
+
+def test_span_first_cuts_late_positions(idx):
+    # 'alpha' in doc 3 sits at 1-based position 13 — outside end=10
+    got = {r["doc_id"] for r in idx.span_first("alpha", end=10, k=10).collect()}
+    assert got == {0, 1}
+    # widening the window readmits it
+    got13 = {r["doc_id"] for r in idx.span_first("alpha", end=13, k=10).collect()}
+    assert got13 == {0, 1, 3}
+
+
+def test_span_not_excludes_adjacent(idx):
+    # 'gamma' adjacent to 'beta' in docs 0 and 4; standalone in doc 2
+    got = {r["doc_id"] for r in idx.span_not("gamma", "beta", pre=1, post=1, k=10).collect()}
+    assert got == {2}
+    # with pre=post=0 (overlap only) nothing is excluded for distinct terms
+    got0 = {r["doc_id"] for r in idx.span_not("gamma", "beta", pre=0, post=0, k=10).collect()}
+    assert got0 == {0, 2, 4}
+
+
+def test_dfi_formula(idx):
+    st = idx.stats
+    rows = {r["doc_id"]: r["score"] for r in idx.dfi_term_query("alpha", k=10).collect()}
+    # doc 1: tf=2, dl=3; ttf(alpha)=4 (docs 0,1x2,3)
+    ttf, tot = 4, st.total_tokens
+    expected = (ttf + 1.0) * 3 / (tot + 1.0)
+    chi2 = (2 - expected) ** 2 / expected
+    want = math.log(chi2 + 1.0) / math.log(2.0)
+    # _topk rounds scores to 6 decimals (oracle rank parity)
+    assert rows[1] == pytest.approx(round(want, 6), abs=1e-9)
+    # docs where tf <= expected are dropped entirely
+    for score in rows.values():
+        assert score > 0
+
+
+def test_ib_spl_and_f2exp_rank_short_docs_first(idx):
+    # doc 1 (alpha x2, dl 3) must beat doc 3 (alpha x1, dl 13) under
+    # every similarity — sanity that tf and length normalization act
+    for fn in (idx.ib_spl_term_query, idx.axiomatic_f2exp_term_query):
+        got = {r["doc_id"]: r["score"] for r in fn("alpha", k=10).collect()}
+        assert set(got) == {0, 1, 3}
+        assert got[1] > got[0] > got[3]
+
+
+def test_connected_components_transitive(spark):
+    from lucene_solr_spark.datapipe.dedup import connected_components
+
+    ids = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    # chain 0-1-2 (0,2 never paired directly), pair 4-5, singletons 3, 6
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], "a long, b long")
+    got = {r["doc_id"]: r["component"] for r in connected_components(pairs, ids).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4, 6: 6}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from lucene_solr_spark.datapipe.dedup import connected_components
+
+    n = 12
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "a long, b long")
+    got = {r["doc_id"]: r["component"] for r in connected_components(pairs, ids).collect()}
+    assert got == {i: 0 for i in range(n)}
