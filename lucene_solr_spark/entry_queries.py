@@ -528,6 +528,55 @@ def timeseries_events(spark, sf_dir):
     )
 
 
+@register("stream_regression", """
+SELECT 'extendedprice~quantity' AS model,
+       round(corr(l_quantity, l_extendedprice), 6) AS r,
+       round(covar_samp(l_quantity, l_extendedprice), 6) AS cov,
+       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 6) AS icept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+FROM lineitem
+""")
+def stream_regression(spark, sf_dir):
+    """Solr math-expression analogs regress()/corr()/cov()
+    (solrj/io/eval/RegressionEvaluator.java, CorrelationEvaluator,
+    CovarianceEvaluator): OLS slope/intercept/r2 + correlation +
+    sample covariance as ONE partial+final aggregate (the eval
+    functions run driver-side on collected arrays in the reference;
+    here they're distributed SQL-standard aggregates)."""
+    li = load(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.agg(
+        F.lit("extendedprice~quantity").alias("model"),
+        F.round(F.corr(x, y), 6).alias("r"),
+        F.round(F.covar_samp(x, y), 6).alias("cov"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("icept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+    )
+
+
+@register("early_terminate_sorted", """
+SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s, event_type
+FROM events ORDER BY ts, event_id LIMIT 100
+""")
+def early_terminate_sorted(spark, sf_dir):
+    """EarlyTerminatingSortingCollector analog
+    (EarlyTerminatingSortingCollector.java:55): the events table is
+    written in ts order (index sort), so top-100-by-ts plans as a bare
+    LIMIT — CollectLimit stops the scan after 100 rows instead of
+    heap-sorting the whole table (search/collectors.py)."""
+    from .search.collectors import early_terminating_topk
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = load(spark, sf_dir, "events")
+    return early_terminating_topk(e, ["ts", "event_id"], 100, presorted=True).select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        "event_type",
+    )
+
+
 # ---------------------------------------------------------------------------
 # join zoo / streaming-expression algebra (SURVEY §2.5 joins, §2.9)
 # ---------------------------------------------------------------------------
