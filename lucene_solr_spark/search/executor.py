@@ -453,17 +453,37 @@ class Searcher:
             .select("term", "blob")
             .mapInPandas(decode_pos, "doc_id long, tidx int, norm int, pos long")
         )
-        first = occ.where(F.col("tidx") == 0).select("doc_id", "norm", "pos")
-        cur = first
-        for i in range(1, len(terms)):
-            nxt = occ.where(F.col("tidx") == i).select(
-                F.col("doc_id").alias("d2"), (F.col("pos") - i).alias("p2")
+        # ONE shuffle: gather each doc's positions per phrase slot as
+        # arrays, then count matches with a codegen'd array expression
+        # tf = |{p in p0 : p+i in p_i for all i}|. The former plan
+        # (n-1 position self-joins) shuffled the occurrence relation
+        # once per slot AND re-ran the decode stage per branch; this
+        # decodes once and shuffles once, with the intersection inside
+        # WholeStageCodegen. Per-doc position lists are tf-sized
+        # (bounded by maxTokenLength'd docs), so array_contains probes
+        # stay O(tf_i) — the same work ExactPhraseMatcher does per doc.
+        aggs = [F.first("norm").alias("norm")]
+        for i in range(len(terms)):
+            aggs.append(
+                F.collect_list(
+                    F.when(F.col("tidx") == i, F.col("pos"))
+                ).alias(f"p{i}")
             )
-            cur = cur.join(
-                nxt, (cur["doc_id"] == nxt["d2"]) & (cur["pos"] == nxt["p2"]), "inner"
-            ).select(cur["doc_id"], cur["norm"], cur["pos"])
-        freq = cur.groupBy("doc_id").agg(
-            F.count(F.lit(1)).alias("tf"), F.first("norm").alias("norm")
+        gathered = occ.groupBy("doc_id").agg(*aggs)
+
+        def match_pred(x):
+            pred = None
+            for i in range(1, len(terms)):
+                c = F.array_contains(F.col(f"p{i}"), x + i)
+                pred = c if pred is None else (pred & c)
+            return pred if pred is not None else F.lit(True)
+
+        tf_col = F.size(F.filter(F.col("p0"), match_pred))
+        freq = (
+            gathered.select(
+                "doc_id", tf_col.alias("tf"), F.col("norm")
+            )
+            .where(F.col("tf") > 0)
         )
 
         def score_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
