@@ -139,6 +139,7 @@ def main() -> None:
         "tpch_q1", "tpch_q3_shipping", "rollup_stats", "grouping_topk",
         "timeseries_events", "join_inner", "join_left",
         "dedup_exact", "dedup_simhash", "dedup_minhash_lsh",
+        "dedup_components", "early_terminate_sorted", "stream_regression",
         "ann_cosine_topk", "text_quality", "text_token_counts",
     ]
     reg = entry_queries.queries()

@@ -2047,6 +2047,68 @@ def ft_span_not(spark, sf_dir):
     return ft(spark, sf_dir).span_not("hash", "join", pre=1, post=1, k=10)
 
 
+@register("ft_span_containing", _ft_sql("""
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT f.doc_id,
+         ((SELECT ln(1 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5))
+             FROM dfs WHERE term = 'hash')
+          + (SELECT ln(1 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5))
+             FROM dfs WHERE term = 'scan')
+          + (SELECT ln(1 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5))
+             FROM dfs WHERE term = 'join'))
+           * (f.tf * 2.2)
+           / (f.tf + 1.2 * (0.25 + 0.75 * l.dl / (SELECT avgdl FROM stats)))
+           AS score
+  FROM (
+    SELECT a.doc_id, sum(1.0 / ((b.pos - a.pos - 1) + 1.0)) AS tf
+    FROM postoks a JOIN postoks b ON a.doc_id = b.doc_id AND b.pos > a.pos
+    WHERE a.term = 'hash' AND b.term = 'scan' AND (b.pos - a.pos - 1) <= 6
+      AND EXISTS (SELECT 1 FROM postoks c WHERE c.doc_id = a.doc_id
+                  AND c.term = 'join' AND c.pos BETWEEN a.pos AND b.pos)
+    GROUP BY a.doc_id
+  ) f JOIN dl l USING (doc_id)
+)
+ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10
+""", positions=True))
+def ft_span_containing(spark, sf_dir):
+    """SpanContainingQuery(big=near(hash, scan, slop=6), little=join)
+    — big spans that contain a 'join' occurrence
+    (spans/SpanContainingQuery.java:35)."""
+    return ft(spark, sf_dir).span_containing("hash", "scan", "join", slop=6, k=10)
+
+
+@register("ft_span_within", _ft_sql("""
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT f.doc_id,
+         ((SELECT ln(1 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5))
+             FROM dfs WHERE term = 'join')
+          + (SELECT ln(1 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5))
+             FROM dfs WHERE term = 'hash')
+          + (SELECT ln(1 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5))
+             FROM dfs WHERE term = 'scan'))
+           * (f.tf * 2.2)
+           / (f.tf + 1.2 * (0.25 + 0.75 * l.dl / (SELECT avgdl FROM stats)))
+           AS score
+  FROM (
+    SELECT c.doc_id, CAST(count(*) AS DOUBLE) AS tf
+    FROM postoks c
+    WHERE c.term = 'join' AND EXISTS (
+      SELECT 1 FROM postoks a JOIN postoks b
+        ON a.doc_id = b.doc_id AND b.pos > a.pos
+      WHERE a.doc_id = c.doc_id AND a.term = 'hash' AND b.term = 'scan'
+        AND (b.pos - a.pos - 1) <= 6 AND c.pos BETWEEN a.pos AND b.pos)
+    GROUP BY c.doc_id
+  ) f JOIN dl l USING (doc_id)
+)
+ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10
+""", positions=True))
+def ft_span_within(spark, sf_dir):
+    """SpanWithinQuery(little=join, big=near(hash, scan, slop=6)) —
+    'join' occurrences lying inside a big span
+    (spans/SpanWithinQuery.java:35)."""
+    return ft(spark, sf_dir).span_within("join", "hash", "scan", slop=6, k=10)
+
+
 @register("ft_feature_saturation", _ft_sql("""
 SELECT doc_id, round(score, 6) AS score FROM (
   SELECT s.doc_id,

@@ -713,6 +713,79 @@ class FulltextIndex:
             bm25_expr(F.col("tf"), F.col("dl"), idf, st.avgdl).alias("score"))
         return _topk(sc, k)
 
+    def _near_pair_spans(self, t1: str, t2: str, slop: int) -> DataFrame:
+        """(doc_id, s, e, w): ordered 2-term near-spans — t1 at s,
+        t2 at e, e > s, gap (e - s - 1) <= slop, weight 1/(dist+1).
+        Shared by span_containing / span_within."""
+        a = self.toks.where(F.col("term") == t1).select("doc_id", F.col("pos").alias("s"))
+        b = self.toks.where(F.col("term") == t2).select(
+            F.col("doc_id").alias("d_"), F.col("pos").alias("e"))
+        dist = F.col("e") - F.col("s") - F.lit(1)
+        return (
+            a.join(b, (a["doc_id"] == b["d_"]) & (F.col("e") > F.col("s"))
+                   & (dist <= slop))
+            .select("doc_id", "s", "e",
+                    (F.lit(1.0) / (dist.cast("double") + 1.0)).alias("w"))
+        )
+
+    def span_containing(self, t1: str, t2: str, little: str,
+                        slop: int = 4, k: int = 10) -> DataFrame:
+        """SpanContainingQuery (spans/SpanContainingQuery.java:35): big
+        spans (ordered near(t1, t2) within slop) that CONTAIN at least
+        one `little` term span (s <= p <= e). Each surviving big span
+        keeps its near-span weight 1/(dist+1); freq = sum; idf = sum
+        over big AND little term stats (SpanContainQuery gathers both
+        sides' term contexts). Plan: the near-span position join + one
+        positional left-semi join for the containment test."""
+        st = self.stats
+        dfs = term_dfs(self.post, [t1, t2, little])
+        if any(dfs[t] == 0 for t in (t1, t2, little)):
+            return self.df.sparkSession.createDataFrame([], "doc_id long, score double")
+        idf_sum = st.idf(dfs[t1]) + st.idf(dfs[t2]) + st.idf(dfs[little])
+        spans = self._near_pair_spans(t1, t2, slop)
+        lit_occ = self.toks.where(F.col("term") == little).select(
+            F.col("doc_id").alias("dl_"), F.col("pos").alias("p"))
+        kept = spans.join(
+            lit_occ,
+            (spans["doc_id"] == lit_occ["dl_"])
+            & (F.col("p") >= F.col("s")) & (F.col("p") <= F.col("e")),
+            "left_semi",
+        )
+        freq = kept.groupBy("doc_id").agg(F.sum("w").alias("tf"))
+        sc = freq.join(self.dl, "doc_id").select(
+            "doc_id",
+            bm25_expr(F.col("tf"), F.col("dl"), idf_sum, st.avgdl).alias("score"))
+        return _topk(sc, k)
+
+    def span_within(self, little: str, t1: str, t2: str,
+                    slop: int = 4, k: int = 10) -> DataFrame:
+        """SpanWithinQuery (spans/SpanWithinQuery.java:35): `little`
+        term spans lying WITHIN some big span (ordered near(t1, t2)
+        within slop). freq = count of such little occurrences (term
+        spans weigh 1); idf = sum over both sides' stats. Plan: one
+        positional left-semi join from little occurrences to the
+        near-span relation."""
+        st = self.stats
+        dfs = term_dfs(self.post, [t1, t2, little])
+        if any(dfs[t] == 0 for t in (t1, t2, little)):
+            return self.df.sparkSession.createDataFrame([], "doc_id long, score double")
+        idf_sum = st.idf(dfs[little]) + st.idf(dfs[t1]) + st.idf(dfs[t2])
+        spans = self._near_pair_spans(t1, t2, slop).select(
+            F.col("doc_id").alias("ds_"), "s", "e")
+        lit_occ = self.toks.where(F.col("term") == little).select("doc_id", "pos")
+        kept = lit_occ.join(
+            spans,
+            (lit_occ["doc_id"] == spans["ds_"])
+            & (F.col("pos") >= F.col("s")) & (F.col("pos") <= F.col("e")),
+            "left_semi",
+        )
+        freq = kept.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("double").alias("tf"))
+        sc = freq.join(self.dl, "doc_id").select(
+            "doc_id",
+            bm25_expr(F.col("tf"), F.col("dl"), idf_sum, st.avgdl).alias("score"))
+        return _topk(sc, k)
+
     def suggest(self, prefix: str, n: int = 10) -> DataFrame:
         """Prefix suggester (AnalyzingSuggester.java:121 analog): top-N
         dictionary terms by document frequency."""

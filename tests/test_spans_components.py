@@ -53,6 +53,22 @@ def test_span_not_excludes_adjacent(idx):
     assert got0 == {0, 2, 4}
 
 
+def test_span_containing_and_within(idx):
+    # doc 0 "alpha beta gamma delta": big = near(alpha, gamma, slop=1)
+    # spans [1,3], containing beta@2
+    got = {r["doc_id"] for r in idx.span_containing("alpha", "gamma", "beta", slop=1).collect()}
+    assert got == {0}
+    # no 'epsilon' inside any alpha..gamma span
+    got = {r["doc_id"] for r in idx.span_containing("alpha", "gamma", "epsilon", slop=1).collect()}
+    assert got == set()
+    # within: beta@2 inside alpha@1..delta@4 (slop 2)
+    got = {r["doc_id"] for r in idx.span_within("beta", "alpha", "delta", slop=2).collect()}
+    assert got == {0}
+    # gamma@3 of doc 2 has no surrounding alpha..delta span
+    got = {r["doc_id"] for r in idx.span_within("gamma", "alpha", "delta", slop=2).collect()}
+    assert got == {0}
+
+
 def test_dfi_formula(idx):
     st = idx.stats
     rows = {r["doc_id"]: r["score"] for r in idx.dfi_term_query("alpha", k=10).collect()}
