@@ -972,6 +972,58 @@ def dedup_components(spark, sf_dir):
     return _dedup.connected_components(pairs, docs.select("doc_id"))
 
 
+@register("curate_corpus",
+          _SIMHASH_FP_SQL.replace("WITH ", "WITH RECURSIVE ", 1) + """,
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst FROM pairs
+),
+reach AS (
+  SELECT doc_id AS id, doc_id AS lbl FROM documents
+  UNION
+  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (
+  SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS component
+  FROM reach GROUP BY id
+),
+qbase AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+),
+qual AS (
+  SELECT doc_id,
+         round(least(1.0, len(toks) / 64.0)
+               * (1.0 - abs((CASE WHEN len(toks) > 0
+                    THEN len(list_filter(toks, x -> x IN (__STOPS__))) * 1.0 / len(toks)
+                    ELSE 0.0 END) - 0.4)), 6) AS quality
+  FROM qbase
+)
+SELECT c.doc_id, c.component, q.quality,
+       CAST(CASE WHEN c.doc_id = c.component AND q.quality >= 0.3
+                 THEN 1 ELSE 0 END AS INT) AS keep
+FROM comp c JOIN qual q USING (doc_id)
+""".replace("__STOPS__", _STOPS_SQL))
+def curate_corpus(spark, sf_dir):
+    """Composed training-corpus curation decision: SimHash near-dup
+    discovery -> connected-components clustering -> canonical (min id)
+    election -> quality gate; keep = canonical AND quality >= 0.3
+    (datapipe/curate.py). The full transitive-dedup + filter pass a
+    pretraining corpus build runs, oracle-checked end-to-end."""
+    from .datapipe import curate as _curate
+
+    return _curate.curate(load(spark, sf_dir, "documents"),
+                          quality_threshold=0.3, max_hamming=3)
+
+
 @register("text_logit_train", None)
 def text_logit_train(spark, sf_dir):
     """TextLogitStream analog (solrj/io/stream/TextLogitStream.java):

@@ -103,6 +103,32 @@ def test_connected_components_transitive(spark):
     assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4, 6: 6}
 
 
+def test_curate_decision(spark):
+    """Near-identical docs collapse to one canonical survivor; junk
+    (too-short) docs are dropped even when canonical."""
+    from lucene_solr_spark.datapipe.curate import curate
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest while the hunters watch it go "
+            "with their old dogs waiting near the fence of the farm ") * 3
+    rows = [
+        (0, base + "ending one"),
+        (1, base + "ending two"),   # near-dup of 0
+        (2, "tiny doc"),            # unique but junk-short
+        (3, "completely different content about spark dataframes and the "
+            "catalyst optimizer running whole stage codegen over columnar "
+            "batches of data while the scheduler assigns tasks to executors "
+            "and the shuffle service moves blocks between the worker nodes "
+            "of the cluster so that wide dependencies can be satisfied"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["component"], r["keep"]) for r in curate(df).collect()}
+    assert got[0][0] == got[1][0] == 0   # same cluster
+    assert got[0][1] == 1 and got[1][1] == 0  # only canonical kept
+    assert got[2] == (2, 0)              # canonical but below quality bar
+    assert got[3][0] == 3 and got[3][1] == 1
+
+
 def test_connected_components_long_chain_converges(spark):
     from lucene_solr_spark.datapipe.dedup import connected_components
 
