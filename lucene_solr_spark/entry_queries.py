@@ -556,6 +556,52 @@ def stream_regression(spark, sf_dir):
     )
 
 
+@register("collapse_expand", """
+SELECT lang, doc_id, n_chars, collapsed_count FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rn,
+         CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS collapsed_count
+  FROM documents
+) WHERE rn = 1
+""")
+def collapse_expand(spark, sf_dir):
+    """Solr collapse/expand (search/CollapsingQParserPlugin.java:130):
+    field collapsing keeps ONE representative doc per group head
+    (max n_chars, doc_id tiebreak) and the expand section reports the
+    collapsed group size — one window pass, no second scan."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang")
+    wo = w.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.select(
+            "lang", "doc_id", "n_chars",
+            F.row_number().over(wo).alias("rn"),
+            F.count(F.lit(1)).over(w).alias("collapsed_count"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register("ft_term_vectors", _ft_sql("""
+SELECT term, CAST(tf AS BIGINT) AS tf
+FROM post WHERE doc_id = 7
+"""))
+def ft_term_vectors(spark, sf_dir):
+    """TermVectorsComponent analog (solr/handler/component/
+    TermVectorComponent.java; lucene TermVectorsReader): the per-doc
+    transposed postings row set (term, tf) for one stored doc — the
+    postings relation filtered on doc_id, no dedicated .tvd family
+    needed in a columnar layout."""
+    return (
+        ft(spark, sf_dir).post
+        .where(F.col("doc_id") == 7)
+        .select("term", F.col("tf").cast("long").alias("tf"))
+    )
+
+
 @register("early_terminate_sorted", """
 SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s, event_type
 FROM events ORDER BY ts, event_id LIMIT 100
