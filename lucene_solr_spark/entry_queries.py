@@ -556,6 +556,69 @@ def stream_regression(spark, sf_dir):
     )
 
 
+@register("facet_pivot", """
+SELECT lang, source, cnt FROM (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt,
+         row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, source ASC) AS rn
+  FROM documents GROUP BY lang, source
+) WHERE rn <= 3
+""")
+def facet_pivot(spark, sf_dir):
+    """Solr pivot facets (facet.pivot=lang,source;
+    solr/handler/component/PivotFacetProcessor.java): hierarchical
+    counts, top-3 child buckets per parent — ONE aggregation over the
+    pair + a window per parent, never a per-bucket re-scan."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    agg = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("source"))
+    return (
+        agg.select("lang", "source", "cnt", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@register("facet_intervals", """
+SELECT
+  CAST(sum(CASE WHEN n_chars >= 0 AND n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT) AS short,
+  CAST(sum(CASE WHEN n_chars >= 200 AND n_chars < 400 THEN 1 ELSE 0 END) AS BIGINT) AS medium,
+  CAST(sum(CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END) AS BIGINT) AS long
+FROM documents
+""")
+def facet_intervals(spark, sf_dir):
+    """Solr interval facets (facet.interval, IntervalFacets.java):
+    arbitrary user-defined ranges counted in ONE pass — conditional
+    sums, no per-interval scans."""
+    d = load(spark, sf_dir, "documents")
+    n = F.col("n_chars")
+    return d.agg(
+        F.sum(F.when((n >= 0) & (n < 200), 1).otherwise(0)).alias("short"),
+        F.sum(F.when((n >= 200) & (n < 400), 1).otherwise(0)).alias("medium"),
+        F.sum(F.when(n >= 400, 1).otherwise(0)).alias("long"),
+    )
+
+
+@register("terms_component", _ft_sql("""
+SELECT term, CAST(df AS BIGINT) AS df FROM dfs
+WHERE term LIKE 'ha%'
+ORDER BY df DESC, term ASC LIMIT 20
+"""))
+def terms_component(spark, sf_dir):
+    """TermsComponent (/terms handler, solr/handler/component/
+    TermsComponent.java): raw term-dictionary enumeration with a
+    prefix filter, top-20 by docfreq — the postings relation's
+    distinct-term aggregate with dictionary pushdown."""
+    idx = ft(spark, sf_dir)
+    return (
+        idx.post.where(F.col("term").startswith("ha"))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(20)
+    )
+
+
 @register("collapse_expand", """
 SELECT lang, doc_id, n_chars, collapsed_count FROM (
   SELECT lang, doc_id, n_chars,
