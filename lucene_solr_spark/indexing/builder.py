@@ -405,8 +405,14 @@ def build_segment(
     num_partitions: Optional[int] = None,
     assume_sorted: bool = False,
     fields=None,
+    index_sort: Optional[List[str]] = None,
 ) -> dict:
     """Build one segment from a corpus batch. Returns counters.
+
+    index_sort: IndexWriterConfig.setIndexSort analog — docIDs are
+    assigned in THIS column order instead of the canonical
+    (repo, path), so the segment's physical doc order matches the sort
+    and sorted top-k can early-terminate (IndexReader.sorted_head).
 
     norms='byte': Lucene intToByte4-quantized field length (bit-parity
     with the reference); norms='exact': raw field length stored instead
@@ -427,7 +433,8 @@ def build_segment(
     phases = {}
 
     with_ids, id_cache = assign_doc_ids(
-        corpus_df, ["repo", "path"], base=doc_base, num_partitions=parts,
+        corpus_df, list(index_sort) if index_sort else ["repo", "path"],
+        base=doc_base, num_partitions=parts,
         assume_sorted=assume_sorted,
     )
     phases["ids"] = round(time.time() - t0, 2)
@@ -525,6 +532,7 @@ def build_index(
     assume_sorted: bool = False,
     fields=None,
     min_doc_base: int = 0,
+    index_sort: Optional[List[str]] = None,
 ) -> Manifest:
     """Log-structured index build: one segment per batch, manifest commit
     after each — resumable at batch granularity (north rule). Completed
@@ -536,6 +544,13 @@ def build_index(
     """
     store = ManifestStore(index_dir)
     manifest = store.load()
+    if index_sort is not None:
+        if manifest.segments and manifest.index_sort != list(index_sort):
+            raise ValueError(
+                f"index_sort {list(index_sort)} conflicts with existing "
+                f"index sort {manifest.index_sort} (IndexWriterConfig "
+                "forbids changing the index sort of an existing index)")
+        manifest.index_sort = list(index_sort)
     done = manifest.completed_batches()
     for i, (batch_id, df) in enumerate(corpus_batches):
         if batch_id in done:
@@ -552,6 +567,7 @@ def build_index(
             spark, df, seg_dir, doc_base=doc_base,
             analyzer=analyzer, norms=norms, positions=positions,
             assume_sorted=assume_sorted, fields=fields,
+            index_sort=manifest.index_sort,
         )
         manifest.next_doc_id = doc_base + counters["doc_count"]
         manifest.segments.append(

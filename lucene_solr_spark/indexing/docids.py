@@ -55,7 +55,11 @@ def assign_doc_ids(df, order_cols: List[str], base: int = 0,
         .collect()
     )
     by_pid = {r["pid"]: r["count"] for r in counts}
-    n_parts = max(by_pid.keys(), default=-1) + 1
+    # size offsets by the PHYSICAL partition count: trailing empty
+    # partitions (tiny batches after a range repartition) still run the
+    # id-assign task and must find their offset entry
+    n_parts = max(sorted_df.rdd.getNumPartitions(),
+                  max(by_pid.keys(), default=-1) + 1)
     offsets = []
     acc = base
     for pid in range(n_parts):

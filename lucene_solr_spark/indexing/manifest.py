@@ -58,6 +58,10 @@ class Manifest:
     # ID of a live doc would sum scores across distinct docs and make
     # tombstones delete the wrong doc. next_doc_id only ever grows.
     next_doc_id: int = 0
+    # IndexWriterConfig.setIndexSort analog: docIDs were assigned in
+    # this column order, so per-segment physical doc order == sort
+    # order and sorted top-k can early-terminate (collectors.py).
+    index_sort: Optional[List[str]] = None
 
     @property
     def total_docs(self) -> int:
@@ -111,6 +115,7 @@ class ManifestStore:
             segments=segments,
             lineage=raw.get("lineage", []),
             next_doc_id=int(raw.get("next_doc_id", fallback_hwm)),
+            index_sort=raw.get("index_sort"),
         )
 
     def commit(self, manifest: Manifest, lineage_entry: Optional[dict] = None) -> Manifest:
@@ -125,6 +130,7 @@ class ManifestStore:
                 "generation": gen,
                 "segments": [asdict(s) for s in manifest.segments],
                 "next_doc_id": manifest.next_doc_id,
+                "index_sort": manifest.index_sort,
                 "lineage": manifest.lineage,
                 "counters": {
                     "total_docs": manifest.total_docs,

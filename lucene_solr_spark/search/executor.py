@@ -112,6 +112,49 @@ class IndexReader:
             return self.doc_count, self.sum_dl
         return self.field_stats.get(field, (0, 0))
 
+    def sorted_head(self, k: int):
+        """EarlyTerminatingSortingCollector over the segment index
+        (EarlyTerminatingSortingCollector.java:55 +
+        IndexWriterConfig.setIndexSort:495): per-segment head-k as the
+        pushed-down range predicate doc_id < doc_base + k (docIDs are
+        dense in sort order, so parquet min/max stats prune every row
+        group past the head — no Sort, no full read),
+        then one tiny merge sort over the <= k * n_segments survivors
+        (the TopFieldDocs.merge step). Correct because the builder
+        assigned docIDs in index_sort order, so each segment's physical
+        doc order IS the sort; appended batches must be monotone in the
+        sort key for merged/multi-segment indexes (the log-structured
+        ingestion contract — same precondition Lucene's collector
+        trusts). Falls back is the caller's full orderBy; refuses when
+        deletes exist (a tombstone inside the head-k would silently
+        under-fill)."""
+        from functools import reduce
+
+        from pyspark.sql import DataFrame, functions as F
+
+        sort = self.manifest.index_sort
+        if not sort:
+            raise ValueError("index has no index_sort (build with index_sort=[...])")
+        if self.has_deletes:
+            raise ValueError("sorted_head with deletes would under-fill; "
+                             "merge-purge first or run the full sort")
+        heads = []
+        for s in self.manifest.segments:
+            d = self.store.segment_dir(s.name)
+            # docIDs are dense in sort order within the segment, so the
+            # segment's first k docs are exactly ids < doc_base + k: a
+            # parquet-pushable range predicate — row groups past the
+            # head never leave disk (the scan-stops-early move; a bare
+            # LIMIT would not work, Spark schedules splits by size)
+            heads.append(
+                self.spark.read.parquet(doc_meta_path(d))
+                .where(F.col("doc_id") < s.doc_base + k)
+            )
+        merged = reduce(DataFrame.unionByName, heads)
+        return merged.orderBy(
+            *[F.col(c) for c in sort], F.asc("doc_id")
+        ).limit(k)
+
     def live(self, df):
         """Apply the liveDocs filter (anti-join on tombstones)."""
         if not self.has_deletes:
