@@ -2020,6 +2020,27 @@ def _seg_topk(spark, pdf, k: int = 10):
     )
 
 
+@register("seg_sorted_head", """
+SELECT lang, doc_id FROM documents
+ORDER BY lang ASC, doc_id ASC LIMIT 10
+""")
+def seg_sorted_head(spark, sf_dir):
+    """Index sorting through the persisted segment index
+    (IndexWriterConfig.setIndexSort + EarlyTerminatingSortingCollector):
+    the gate index is built with index_sort=[lang, path], so docIDs
+    ascend in (lang, path) order and sorted_head answers the sorted
+    top-10 from pushed-down doc_id range predicates — parquet stats
+    prune every row group past the head, no Sort over the table."""
+    from .search.executor import IndexReader
+
+    idx = _build_gate_index(spark, sf_dir, "sorted_v1",
+                            analyzer="simple_stop",
+                            index_sort=["lang", "path"])
+    r = IndexReader(spark, idx, norms="exact")
+    return r.sorted_head(10).select(
+        "lang", F.col("path").cast("long").alias("doc_id"))
+
+
 @register("seg_term_bm25", _ft_sql("""
 SELECT doc_id, round(score, 6) AS score
 FROM scored WHERE term = 'spark'
