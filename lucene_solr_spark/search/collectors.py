@@ -43,11 +43,18 @@ class TimeExceeded(Exception):
 def early_terminating_topk(df: DataFrame, sort_cols: Sequence[str], k: int,
                            presorted: bool = False) -> DataFrame:
     """Top-k by sort_cols. With presorted=True (caller asserts the
-    source's physical order IS sort_cols, e.g. our manifest's index
-    sort or a time-ordered event log) the plan is a bare LIMIT — scan
-    stops after k rows, no Sort, no TakeOrdered heap, no full-table
-    read. Otherwise falls back to the always-correct
-    TakeOrderedAndProject."""
+    source's physical order IS sort_cols, e.g. a time-ordered event
+    log) the plan is a bare LIMIT — scan stops after k rows, no Sort,
+    no TakeOrdered heap, no full-table read. Otherwise falls back to
+    the always-correct TakeOrderedAndProject.
+
+    presorted contract, precisely: row order as SCANNED must equal
+    sort_cols order. Spark schedules parquet splits largest-first, so
+    this holds for a single ordered file (or any source whose split
+    order is the sort order) — NOT for a multi-file sorted table. For
+    the engine's own multi-file segment indexes use
+    IndexReader.sorted_head, which gets early termination from a
+    pushed-down doc_id range predicate instead of scan order."""
     if presorted:
         return df.limit(k)
     return df.orderBy(*sort_cols).limit(k)
