@@ -50,7 +50,8 @@ def cmd_index(args) -> dict:
             fields.append(tuple(parts))
     t0 = time.time()
     m = build_index(spark, args.index, [(args.batch, corpus)],
-                    assume_sorted=args.sorted, fields=fields)
+                    assume_sorted=args.sorted, fields=fields,
+                    index_sort=args.index_sort.split(",") if args.index_sort else None)
     dt = time.time() - t0
     return {"docs": m.total_docs, "segments": len(m.segments),
             "build_s": round(dt, 2), "docs_per_sec": round(m.total_docs / dt, 1)}
@@ -112,6 +113,16 @@ def cmd_check(args) -> dict:
                        raise_on_error=False)
 
 
+def cmd_sorted_head(args) -> dict:
+    from .search.executor import IndexReader
+
+    r = IndexReader(_spark(), args.index)
+    rows = r.sorted_head(args.k).collect()
+    return {"index_sort": r.manifest.index_sort,
+            "rows": [{c: row[c] for c in ("doc_id", "repo", "path")}
+                     for row in rows]}
+
+
 def cmd_stats(args) -> dict:
     from .indexing.manifest import ManifestStore
 
@@ -139,6 +150,9 @@ def main(argv=None) -> int:
     p.add_argument("--sorted", action="store_true")
     p.add_argument("--fields", default=None,
                    help="multi-field spec: name:source_col[:analyzer],...")
+    p.add_argument("--index-sort", dest="index_sort", default=None,
+                   help="comma-separated columns: assign docIDs in this "
+                        "order (setIndexSort analog; enables sorted-head)")
 
     p = sub.add_parser("search")
     p.add_argument("--index", required=True)
@@ -160,6 +174,10 @@ def main(argv=None) -> int:
     p.add_argument("--terms", required=True)
     p.add_argument("--field", default=None)
 
+    p = sub.add_parser("sorted-head")
+    p.add_argument("--index", required=True)
+    p.add_argument("-k", type=int, default=10)
+
     p = sub.add_parser("stats")
     p.add_argument("--index", required=True)
 
@@ -172,7 +190,7 @@ def main(argv=None) -> int:
     out = {
         "index": cmd_index, "search": cmd_search, "count": cmd_count,
         "merge": cmd_merge, "delete": cmd_delete, "stats": cmd_stats,
-        "check": cmd_check,
+        "check": cmd_check, "sorted-head": cmd_sorted_head,
     }[args.cmd](args)
     print(json.dumps(out))
     return 0

@@ -98,3 +98,28 @@ def test_cli_rejects_bad_fields_spec(spark, tmp_path, tiny_corpus_pdf):
     with pytest.raises(SystemExit, match="bad spec"):
         main(["index", "--corpus", corpus, "--index", str(tmp_path / "x"),
               "--fields", "a:b:c:d"])
+
+
+def test_cli_index_sort_and_sorted_head(spark, tmp_path, tiny_corpus_pdf, capsys):
+    """--index-sort build + sorted-head subcommand in-process."""
+    import json
+
+    from lucene_solr_spark.__main__ import main
+
+    corpus = str(tmp_path / "c3.parquet")
+    tiny_corpus_pdf.to_parquet(corpus, index=False)
+    idx = str(tmp_path / "sidx")
+
+    def run(*argv):
+        assert main(list(argv)) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    run("index", "--corpus", corpus, "--index", idx, "--batch", "b0",
+        "--index-sort", "lang,repo,path")
+    out = run("sorted-head", "--index", idx, "-k", "4")
+    assert out["index_sort"] == ["lang", "repo", "path"]
+    assert len(out["rows"]) == 4
+    want = (tiny_corpus_pdf.sort_values(["lang", "repo", "path"])
+            .head(4)[["repo", "path"]].values.tolist())
+    got = [[r["repo"], r["path"]] for r in out["rows"]]
+    assert got == want
