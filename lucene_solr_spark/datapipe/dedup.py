@@ -285,22 +285,29 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
     edges = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        # edges join into EVERY round: without this persist the whole
+        # upstream pair-discovery pipeline (tokenize + fingerprint +
+        # band join) would re-execute per round
+        .persist()
     )
-    labels = ids.select(F.col("doc_id"), F.col("doc_id").alias("component"))
-    prev_sum = None
-    for _ in range(max_iter):
-        nbr = (
-            edges.join(labels, edges["src"] == labels["doc_id"])
-            .select(F.col("dst").alias("doc_id"), "component")
-        )
-        labels = (
-            labels.union(nbr)
-            .groupBy("doc_id")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
-        )
-        cur = labels.agg(F.sum("component")).collect()[0][0]
-        if cur == prev_sum:
-            break
-        prev_sum = cur
-    return labels
+    try:
+        labels = ids.select(F.col("doc_id"), F.col("doc_id").alias("component"))
+        prev_sum = None
+        for _ in range(max_iter):
+            nbr = (
+                edges.join(labels, edges["src"] == labels["doc_id"])
+                .select(F.col("dst").alias("doc_id"), "component")
+            )
+            labels = (
+                labels.union(nbr)
+                .groupBy("doc_id")
+                .agg(F.min("component").alias("component"))
+                .localCheckpoint(eager=True)
+            )
+            cur = labels.agg(F.sum("component")).collect()[0][0]
+            if cur == prev_sum:
+                break
+            prev_sum = cur
+        return labels
+    finally:
+        edges.unpersist()
