@@ -129,6 +129,39 @@ def test_curate_decision(spark):
     assert got[3][0] == 3 and got[3][1] == 1
 
 
+def test_curate_exact_collapse_preserves_components(spark):
+    """curate collapses exact dups before LSH; the per-doc components
+    must equal the naive path (components over ALL docs directly)."""
+    from lucene_solr_spark.datapipe.curate import curate
+    from lucene_solr_spark.datapipe.dedup import (
+        connected_components, simhash_near_pairs)
+
+    body = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon ") * 4
+    rows = [
+        (0, body + "suffix one"),
+        (1, body + "suffix one"),    # exact dup of 0
+        (2, body + "suffix one"),    # exact dup of 0
+        (3, body + "suffix two"),    # near-dup of the group
+        (4, "totally different text about query planning and shuffles "
+            "in a distributed execution engine with columnar batches "
+            "and adaptive partition coalescing at runtime for joins"),
+        (5, "totally different text about query planning and shuffles "
+            "in a distributed execution engine with columnar batches "
+            "and adaptive partition coalescing at runtime for joins"),  # exact dup of 4
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["component"] for r in curate(df).collect()}
+    naive = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(
+            simhash_near_pairs(df), df.select("doc_id")).collect()
+    }
+    assert got == naive
+    assert got[0] == got[1] == got[2] == got[3] == 0
+    assert got[4] == got[5] == 4
+
+
 def test_connected_components_long_chain_converges(spark):
     from lucene_solr_spark.datapipe.dedup import connected_components
 
