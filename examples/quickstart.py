@@ -65,6 +65,10 @@ def main() -> None:
     )
     print("live bm25:", [r["doc_id"] for r in live.term_query("import", k=3).collect()])
     print("suggest:", [r["term"] for r in live.suggest("ide", 3).collect()])
+    print("span near:", [r["doc_id"] for r in
+                         live.span_near(["public", "static"], slop=2, k=3).collect()])
+    print("lm dirichlet:", [r["doc_id"] for r in
+                            live.lm_dirichlet_term_query("import", k=3).collect()])
 
     # 5. training-data ops: exact dedup + simhash near-dup
     from lucene_solr_spark.datapipe import dedup
@@ -73,6 +77,14 @@ def main() -> None:
                          F.col("content").alias("text"))
     print("exact-dup rows:",
           dedup.exact_dedup(docs).where(F.col("group_size") > 1).count())
+
+    # 6. composed curation: exact collapse -> near-dup clusters ->
+    #    canonical election -> quality gate (one keep bit per doc)
+    from lucene_solr_spark.datapipe.curate import curate
+
+    decision = curate(docs)
+    print("curation keep/drop:",
+          decision.groupBy("keep").count().orderBy("keep").collect())
     spark.stop()
 
 
