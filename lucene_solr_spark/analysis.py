@@ -146,6 +146,33 @@ def simple_analyze(text: str, stop: bool = False) -> List[str]:
     return toks
 
 
+# WordDelimiterGraphFilter analog (generateWordParts + splitOnCaseChange
+# + splitOnNumerics, catenate off, preserveOriginal off — the source-code
+# identifier chain: camelCase / ACRONYMWord / letter<->digit boundaries
+# become token splits, then lowercase + delimiter split). Expressed as
+# boundary-marking substitutions so the IDENTICAL chain runs as Spark
+# regexp_replace (backref $n) and DuckDB regexp_replace (backref \n) —
+# no lookaheads, RE2-safe. Reference semantics:
+# lucene/analysis/common/src/java/org/apache/lucene/analysis/
+# miscellaneous/WordDelimiterGraphFilter.java:63-88 (rule table),
+# WordDelimiterIterator.java (case/numeric transition splits).
+WORD_DELIMITER_BOUNDARIES: List[Tuple[str, str]] = [
+    (r"([a-z])([A-Z])", " "),        # camelCase       -> camel Case
+    (r"([A-Z])([A-Z][a-z])", " "),   # HTTPServer      -> HTTP Server
+    (r"([a-zA-Z])([0-9])", " "),     # ident123 / SD500 -> ident 123
+    (r"([0-9])([a-zA-Z])", " "),     # j2se            -> j 2 se
+]
+_WDF_SUBS = [(re.compile(p), r"\1 \2") for p, _ in WORD_DELIMITER_BOUNDARIES]
+
+
+def word_delimiter_analyze(text: str) -> List[str]:
+    """Split source-code identifiers at case/digit transitions, then
+    run the simple chain (lowercase + [^a-z0-9]+ split, no stops)."""
+    for pat, rep in _WDF_SUBS:
+        text = pat.sub(rep, text)
+    return simple_analyze(text, stop=False)
+
+
 # ---------------------------------------------------------------------------
 # Per-field analyzer registry (analysis/common analog, SURVEY §2.2):
 # every analyzer returns ({term: [positions]}, field_length) — the
@@ -175,6 +202,9 @@ def analyze_field(text: str, analyzer: str):
                    (KeywordAnalyzer — untokenized identifiers/enums)
     shingle      — word bigrams over simple tokens, space-joined
                    (ShingleFilter, outputUnigrams=false)
+    word_delimiter — camelCase/ACRONYM/letter<->digit identifier
+                   splitting + simple chain (WordDelimiterGraphFilter,
+                   the source-code field analyzer)
     """
     text = text or ""
     if analyzer == "standard":
@@ -192,6 +222,8 @@ def analyze_field(text: str, analyzer: str):
         return _positions_of(
             [f"{a} {b}" for a, b in zip(toks, toks[1:])]
         )
+    if analyzer == "word_delimiter":
+        return _positions_of(word_delimiter_analyze(text))
     if analyzer == "edge_ngram":
         # EdgeNGramTokenFilter(minGram=2, maxGram=5) over simple tokens:
         # all grams of a token share its position (overlap tokens), and

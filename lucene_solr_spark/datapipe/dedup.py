@@ -271,10 +271,14 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
     rounds in practice; convergence is detected by the monotone
     sum-of-labels invariant (labels only ever decrease, so an
     unchanged sum IS the fixpoint — one cheap driver-side scalar per
-    round, no change-count join). Scale notes (100 TB): lineage is
-    truncated every round with localCheckpoint so the plan stays flat;
-    each round is one shuffle on doc_id; no driver-side data beyond
-    the 1-row sum. For adversarial graphs with large diameters the
+    round, no change-count join). Scale notes (100 TB): the loop runs
+    ONLY over edge endpoints — singletons (the overwhelming majority
+    of a deduped corpus) never enter a round; they are left-joined
+    back as their own component at the end, so per-round shuffle cost
+    is O(near-dup nodes), not O(corpus). Lineage is truncated every
+    round with localCheckpoint so the plan stays flat; each round is
+    one shuffle on doc_id; no driver-side data beyond the 1-row sum.
+    For adversarial graphs with large diameters the
     alternating large-star/small-star variant (Kiveris et al. 2014,
     "Connected Components in MapReduce") drops rounds to O(log n);
     near-dup graphs never need it.
@@ -291,7 +295,15 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
         .persist()
     )
     try:
-        labels = ids.select(F.col("doc_id"), F.col("doc_id").alias("component"))
+        # Propagate over edge endpoints only: a node with no edge can
+        # never receive a smaller label, so the loop's working set is
+        # the near-dup subgraph, not the whole corpus.
+        labels = (
+            edges.select("src").distinct()
+            .select(F.col("src").alias("doc_id"),
+                    F.col("src").alias("component"))
+            .localCheckpoint(eager=True)
+        )
         prev_sum = None
         for _ in range(max_iter):
             nbr = (
@@ -308,6 +320,13 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
             if cur == prev_sum:
                 break
             prev_sum = cur
-        return labels
+        # Singletons re-enter here as their own component (left join:
+        # one shuffle over the universe, once, not once per round).
+        return (
+            ids.select("doc_id")
+            .join(labels, "doc_id", "left")
+            .select(F.col("doc_id"),
+                    F.coalesce("component", "doc_id").alias("component"))
+        )
     finally:
         edges.unpersist()

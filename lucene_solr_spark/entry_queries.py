@@ -2401,6 +2401,51 @@ def ft_suggest_infix(spark, sf_dir):
     return ft(spark, sf_dir).suggest_infix("par", n=10)
 
 
+@register("ft_word_delimiter", """
+WITH toks AS (
+  SELECT d.doc_id, u.t AS term FROM (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               source,
+               '([a-z])([A-Z])', '\\1 \\2', 'g'),
+               '([A-Z])([A-Z][a-z])', '\\1 \\2', 'g'),
+               '([a-zA-Z])([0-9])', '\\1 \\2', 'g'),
+               '([0-9])([a-zA-Z])', '\\1 \\2', 'g')),
+             '[^a-z0-9]+'), x -> x <> '') AS l
+    FROM documents
+  ) d, unnest(d.l) AS u(t)
+)
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM toks GROUP BY term
+ORDER BY df DESC, term ASC LIMIT 20
+""")
+def ft_word_delimiter(spark, sf_dir):
+    """WordDelimiterGraphFilter analog over the `source` field: split
+    identifiers at case + letter<->digit transitions (src42 -> src, 42;
+    getHTTPServer -> get, http, server) then dictionary df ranking.
+    Whole chain is JVM regexp_replace/split — WholeStageCodegen, no
+    Python. Reference: analysis/miscellaneous/
+    WordDelimiterGraphFilter.java:63-88, WordDelimiterIterator.java."""
+    from .analysis import WORD_DELIMITER_BOUNDARIES
+
+    col = F.col("source")
+    for pat, _ in WORD_DELIMITER_BOUNDARIES:
+        col = F.regexp_replace(col, pat, "$1 $2")
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id",
+                F.explode(F.split(F.lower(col), "[^a-z0-9]+")).alias("term"))
+        .where(F.col("term") != "")
+    )
+    return (
+        toks.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(20)
+    )
+
+
 @register("ft_passage_highlight", _ft_sql("""
 SELECT doc_id, passage, round(score, 6) AS score FROM (
   SELECT doc_id, passage, score,

@@ -145,3 +145,50 @@ class TestFieldAnalyzerRegistry:
         # shared prefix across tokens accumulates positions
         per2, _ = analyze_field("spa spark", "edge_ngram")
         assert per2["sp"] == [0, 1] and per2["spa"] == [0, 1]
+
+    def test_word_delimiter_goldens(self):
+        # splits mirror WordDelimiterGraphFilter with generateWordParts
+        # + generateNumberParts + splitOnCaseChange + splitOnNumerics
+        # (catenate/preserveOriginal off), then lowercase — cases from
+        # TestWordDelimiterGraphFilter.java (PowerShot, SD500, j2se,
+        # wi-fi) and WordDelimiterIterator case-transition rules.
+        from lucene_solr_spark.analysis import word_delimiter_analyze as w
+
+        assert w("PowerShot") == ["power", "shot"]
+        assert w("SD500") == ["sd", "500"]
+        assert w("j2se") == ["j", "2", "se"]
+        assert w("wi-fi") == ["wi", "fi"]
+        assert w("HTTPServer") == ["http", "server"]
+        assert w("getUserName") == ["get", "user", "name"]
+        assert w("snake_case_id") == ["snake", "case", "id"]
+        assert w("ident123") == ["ident", "123"]
+        assert w("") == []
+
+    def test_word_delimiter_field_registry(self):
+        from lucene_solr_spark.analysis import analyze_field
+
+        per, length = analyze_field("parseHTTPResponse42", "word_delimiter")
+        assert per == {"parse": [0], "http": [1], "response": [2], "42": [3]}
+        assert length == 4
+
+    def test_word_delimiter_spark_duckdb_parity(self):
+        # the boundary-substitution chain must behave identically under
+        # Python re (this oracle), Java regex (Spark, backref $n) and
+        # RE2 (DuckDB, backref \n) — verified here for DuckDB; the
+        # registry entry ft_word_delimiter covers Spark vs DuckDB.
+        import duckdb
+
+        from lucene_solr_spark.analysis import (
+            WORD_DELIMITER_BOUNDARIES, word_delimiter_analyze)
+
+        texts = ["PowerShot", "getHTTPServer42x", "j2se wi-fi SD500",
+                 "snake_case ident123 XMLHttpRequest"]
+        con = duckdb.connect()
+        for t in texts:
+            expr = "?"
+            for pat, _ in WORD_DELIMITER_BOUNDARIES:
+                expr = f"regexp_replace({expr}, '{pat}', '\\1 \\2', 'g')"
+            got = con.execute(
+                f"SELECT list_filter(regexp_split_to_array(lower({expr}),"
+                " '[^a-z0-9]+'), x -> x <> '')", [t]).fetchone()[0]
+            assert got == word_delimiter_analyze(t), t

@@ -252,3 +252,42 @@ def test_edge_ngram_field_prefix_as_term(spark, mf_corpus, tmp_path):
     hits = s.search(TermQuery(term="vect", field="ac"), k=len(mf_corpus))
     mask = mf_corpus["title"].str.contains(r"\bvect")
     assert set(hits["doc_id"]) == set(np.flatnonzero(mask.to_numpy()).tolist())
+
+
+def test_word_delimiter_indexed_field(spark, tmp_path):
+    """A word_delimiter-analyzed field matches camelCase/snake_case
+    sub-tokens with exact term queries — the source-code identifier
+    search pattern (WordDelimiterGraphFilter.java:63-88)."""
+    from lucene_solr_spark.indexing.builder import build_index
+    from lucene_solr_spark.search.executor import IndexReader, Searcher
+
+    pdf = pd.DataFrame({
+        "repo": ["r0"] * 4,
+        "path": [f"p{i}" for i in range(4)],
+        "commit": ["c0"] * 4,
+        "lang": ["java"] * 4,
+        "body": [
+            "class HashJoinExec extends SparkPlan",
+            "def get_user_name(uid): return names[uid]",
+            "XMLHttpRequest send42 payload",
+            "plain lowercase words only",
+        ],
+    })
+    idx = str(tmp_path / "wdf")
+    build_index(spark, idx, [("b0", spark.createDataFrame(pdf))],
+                fields=[("body", "body", "word_delimiter")])
+    s = Searcher(IndexReader(spark, idx))
+    # camelCase sub-token
+    assert set(s.search(TermQuery(term="join", field="body"),
+                        k=10)["doc_id"]) == {0}
+    # snake_case sub-token
+    assert set(s.search(TermQuery(term="user", field="body"),
+                        k=10)["doc_id"]) == {1}
+    # acronym run + digit split
+    assert set(s.search(TermQuery(term="xml", field="body"),
+                        k=10)["doc_id"]) == {2}
+    assert set(s.search(TermQuery(term="42", field="body"),
+                        k=10)["doc_id"]) == {2}
+    # phrase across split parts: "hash join" are adjacent positions
+    assert set(s.search(PhraseQuery(terms=("hash", "join"), field="body"),
+                        k=10)["doc_id"]) == {0}
