@@ -245,6 +245,101 @@ def analyze_field(text: str, analyzer: str):
 
 
 # ---------------------------------------------------------------------------
+# Vectorized (per-Arrow-batch) tokenization for the DWPT chamber: the
+# whole batch's token stream as flat numpy arrays — pandas str ops +
+# numpy run bookkeeping, no per-token and no per-doc Python for the
+# analyzers that admit it. Shared by the single-field AND multi-field
+# build paths (indexing/builder.py).
+# ---------------------------------------------------------------------------
+
+_WS_TOKEN_RE = re.compile(r"\S+")
+
+
+def vectorized_field_tokens(contents: "pd.Series", analyzer: str,
+                            with_positions: bool):
+    """Tokenize a batch of field values under a named analyzer.
+
+    Returns (flat_terms, doc_idx, positions, lengths, fallback):
+      flat_terms  object ndarray of emitted terms (all docs concatenated)
+      doc_idx     int64 ndarray: flat_terms[i] belongs to batch row
+                  doc_idx[i]
+      positions   int64 ndarray aligned with flat_terms (None when
+                  with_positions=False) — per-field position stream,
+                  gaps preserved for 'standard', compacted post-filter
+                  for the simple chains
+      lengths     int64 per-row field length (post-filter token count;
+                  fallback rows come back 0 — the caller fills them)
+      fallback    row indices the caller must invert per doc via
+                  analyze_field (rare Unicode lower()-length changes
+                  under 'standard'; every row for analyzers without a
+                  vectorized form: shingle / edge_ngram /
+                  word_delimiter)
+    """
+    import numpy as np
+
+    ndocs = len(contents)
+    if analyzer == "keyword":
+        # whole value = one token, case preserved (KeywordAnalyzer)
+        lens = contents.str.len().to_numpy()
+        nonempty = np.flatnonzero(lens > 0).astype(np.int64)
+        flat = contents.to_numpy(dtype=object)[nonempty]
+        pos = np.zeros(len(nonempty), dtype=np.int64) if with_positions else None
+        lengths = (lens > 0).astype(np.int64)
+        return flat, nonempty, pos, lengths, []
+    if analyzer not in ("standard", "simple", "simple_stop", "whitespace"):
+        return (
+            np.empty(0, dtype=object), np.empty(0, dtype=np.int64),
+            (np.empty(0, dtype=np.int64) if with_positions else None),
+            np.zeros(ndocs, dtype=np.int64), list(range(ndocs)),
+        )
+    if analyzer == "standard":
+        # "standard" docs whose lower() changes string length (rare
+        # Unicode) fall back to the reference per-doc path for parity
+        low = contents.str.lower()
+        fb_mask = (low.str.len() != contents.str.len()).to_numpy()
+        tok_lists = low.str.findall(_TOKEN_RE)
+    elif analyzer == "whitespace":
+        fb_mask = np.zeros(ndocs, dtype=bool)
+        tok_lists = contents.str.findall(_WS_TOKEN_RE)
+    else:
+        low = contents.str.lower()
+        fb_mask = np.zeros(ndocs, dtype=bool)
+        tok_lists = low.str.findall(_SIMPLE_TOKEN_RE)
+    counts = np.fromiter((len(x) for x in tok_lists), dtype=np.int64, count=ndocs)
+    counts[fb_mask] = 0  # fallback docs handled separately
+    total = int(counts.sum())
+    flat = np.empty(total, dtype=object)
+    k = 0
+    for i, lst in enumerate(tok_lists):
+        if fb_mask[i]:
+            continue
+        flat[k:k + len(lst)] = lst
+        k += len(lst)
+    docloc = np.repeat(np.arange(ndocs), counts)
+    offs = np.cumsum(counts) - counts
+    pre_pos = np.arange(total, dtype=np.int64) - np.repeat(offs, counts)
+    tok_s = pd.Series(flat, dtype=object)
+    if analyzer in ("standard", "simple_stop"):
+        keep = ~tok_s.isin(ENGLISH_STOP_WORDS).to_numpy()
+    else:
+        keep = np.ones(total, dtype=bool)
+    if analyzer == "standard" and total:
+        keep &= (tok_s.str.len() <= MAX_TOKEN_LENGTH).to_numpy()
+    kept_doc = docloc[keep].astype(np.int64)
+    lengths = np.bincount(kept_doc, minlength=ndocs).astype(np.int64)
+    pos = None
+    if with_positions:
+        if analyzer == "standard":
+            # pre-filter positions: stop/overlong leave gaps
+            pos = pre_pos[keep]
+        else:
+            # simple chains: positions compacted POST-filter
+            koffs = np.cumsum(lengths) - lengths
+            pos = (np.arange(len(kept_doc), dtype=np.int64) - koffs[kept_doc])
+    return flat[keep], kept_doc, pos, lengths, list(np.flatnonzero(fb_mask))
+
+
+# ---------------------------------------------------------------------------
 # Arrow-batched Spark UDF factories (imported lazily so the pure-Python
 # oracle never needs a JVM).
 # ---------------------------------------------------------------------------

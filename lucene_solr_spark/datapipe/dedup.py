@@ -190,18 +190,27 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
 
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH (the at-scale discovery path; xxhash64, rows-only check)
+# MinHash + LSH (the at-scale discovery path; portable md5-h60 hashes,
+# fully DuckDB-oracle-checkable)
 # ---------------------------------------------------------------------------
+
+def h60_seeded(col: Column, seed: int) -> Column:
+    """Seeded portable 60-bit hash: h60(seed || '|' || s) — the i-th
+    MinHash permutation. DuckDB-identical:
+    CAST('0x' || substr(md5('<seed>|' || s), 1, 15) AS BIGINT)."""
+    return h60(F.concat(F.lit(f"{seed}|"), col))
+
 
 def minhash_signatures(df: DataFrame, num_hashes: int = 32,
                        text_col: str = "text", id_col: str = "doc_id",
                        k: int = 3) -> DataFrame:
     """(doc_id, sig array<bigint>): sig[i] = min over shingles of
-    xxhash64(shingle, i). One explode + one groupBy(doc) with
-    num_hashes min-aggregates (map-side combine)."""
+    h60_seeded(shingle, i) — the portable md5 construction (the former
+    xxhash64 was not replicable in the SQL oracle). One explode + one
+    groupBy(doc) with num_hashes min-aggregates (map-side combine)."""
     sh = doc_shingles(df, text_col, id_col, k)
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"m{i}")
+        F.min(h60_seeded(F.col("shingle"), i)).alias(f"m{i}")
         for i in range(num_hashes)
     ]
     g = sh.groupBy("doc_id").agg(*mins)
@@ -225,7 +234,11 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8,
             F.array(*[
                 F.struct(
                     F.lit(j).alias("band"),
-                    F.xxhash64(*[F.col("sig")[j * rows + r] for r in range(rows)]).alias("key"),
+                    # portable band key: h60 over the comma-joined row
+                    # values (bigint -> decimal string on both engines)
+                    h60(F.concat_ws(
+                        ",", *[F.col("sig")[j * rows + r].cast("string")
+                               for r in range(rows)])).alias("key"),
                 )
                 for j in range(bands)
             ])
@@ -305,6 +318,7 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
             .localCheckpoint(eager=True)
         )
         prev_sum = None
+        converged = False
         for _ in range(max_iter):
             nbr = (
                 edges.join(labels, edges["src"] == labels["doc_id"])
@@ -318,8 +332,18 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
             )
             cur = labels.agg(F.sum("component")).collect()[0][0]
             if cur == prev_sum:
+                converged = True
                 break
             prev_sum = cur
+        if not converged:
+            # partially-propagated labels are WRONG labels (a near-dup
+            # chain with diameter > max_iter would silently split one
+            # component in two) — refuse rather than mislabel
+            raise RuntimeError(
+                f"connected_components did not converge within {max_iter} "
+                "rounds (component diameter exceeds max_iter); raise "
+                "max_iter for this graph"
+            )
         # Singletons re-enter here as their own component (left join:
         # one shuffle over the universe, once, not once per round).
         return (

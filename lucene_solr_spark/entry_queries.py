@@ -1149,11 +1149,67 @@ def text_logit_train(spark, sf_dir):
         F.col("lang") == "en", iterations=8, lr=2.0)
 
 
-@register("dedup_minhash_lsh", None)
+def _minhash_lsh_sql(num_hashes: int = 32, bands: int = 8, k: int = 3,
+                     threshold: float = 0.5) -> str:
+    """Full DuckDB replica of minhash_lsh_pairs: shingles -> seeded-h60
+    MinHash signatures -> banded bucket join -> agreement fraction.
+    Possible because the signatures use the portable md5-h60
+    construction (dedup.h60_seeded), not an engine-private hash."""
+    rows = num_hashes // bands
+    h = "CAST(('0x' || substr(md5({s}), 1, 15)) AS BIGINT)"
+    mins = ",\n         ".join(
+        h.format(s=f"'{i}|' || shingle") + f" AS hm{i}"
+        for i in range(num_hashes))
+    min_aggs = ",\n         ".join(
+        f"min(hm{i}) AS m{i}" for i in range(num_hashes))
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {j} AS band, "
+        + h.format(s=" || ',' || ".join(
+            f"CAST(m{j * rows + r} AS VARCHAR)" for r in range(rows)))
+        + " AS key FROM mh"
+        for j in range(bands))
+    agree = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes))
+    shingle_expr = " || ' ' || ".join(f"toks[i+{j}]" for j in range(k))
+    return f"""
+WITH {_RAWTOKS},
+sh AS (
+  SELECT DISTINCT doc_id, {shingle_expr} AS shingle
+  FROM rawtoks, unnest(range(1, len(toks) - {k - 2})) AS r(i)
+),
+hashed AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh
+),
+mh AS (
+  SELECT doc_id,
+         {min_aggs}
+  FROM hashed GROUP BY doc_id
+),
+bands AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT a, b, est_jaccard FROM (
+  SELECT c.a, c.b, round(({agree}) / {float(num_hashes)}, 6) AS est_jaccard
+  FROM cand c JOIN mh sa ON sa.doc_id = c.a JOIN mh sb ON sb.doc_id = c.b
+) WHERE est_jaccard >= {threshold}
+"""
+
+
+@register("dedup_minhash_lsh", _minhash_lsh_sql())
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(32)+LSH(8 bands) candidate pairs, est_jaccard >= 0.5 —
-    the at-scale discovery path (xxhash64 signatures; rows-only check,
-    verified against exact jaccard in tests/test_datapipe.py)."""
+    the at-scale discovery path, now FULLY hash-checked against a
+    DuckDB replica (portable seeded-h60 signatures replaced the
+    non-portable xxhash64); recall vs exact jaccard additionally
+    measured in tests/test_datapipe.py."""
     return _dedup.minhash_lsh_pairs(load(spark, sf_dir, "documents"),
                                     threshold=0.5)
 
@@ -1231,11 +1287,42 @@ def ann_cosine_pairs(spark, sf_dir):
                                   threshold=0.9, max_id=150)
 
 
-@register("ann_lsh_topk", None)
+def _ann_lsh_sql(query_id: int = 0, k: int = 10, n_planes: int = 8,
+                 dim: int = 64) -> str:
+    """DuckDB replica of lsh_bucket_topk: the hyperplanes are the
+    DETERMINISTIC md5-seeded vectors (_hyperplane), so the oracle folds
+    the same plane literals into SQL. dim matches the testdata
+    embeddings (TESTDATA.md); the Spark side derives dim from the data,
+    so a different corpus would need a regenerated oracle."""
+    planes = [_sim._hyperplane(dim, i) for i in range(n_planes)]
+    dv = "CAST(embedding AS DOUBLE[])"
+    bits = " + ".join(
+        "CASE WHEN list_dot_product({v}, [{p}]) >= 0 THEN {b} ELSE 0 END".format(
+            v=dv, p=", ".join(repr(x) for x in p), b=1 << i)
+        for i, p in enumerate(planes))
+    probes = ", ".join(["qb"] + [f"xor(qb, {1 << i})" for i in range(n_planes)])
+    cos = ("list_dot_product(v, qvec) / "
+           "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qvec, qvec)))")
+    return f"""
+WITH wb AS (
+  SELECT vec_id, {dv} AS v, ({bits}) AS bucket FROM embeddings
+),
+q AS (SELECT v AS qvec, bucket AS qb FROM wb WHERE vec_id = {query_id}),
+probes AS (SELECT DISTINCT qvec, unnest([{probes}]) AS bucket FROM q)
+SELECT vec_id, round({cos}, 6) AS cos
+FROM wb JOIN probes USING (bucket)
+WHERE vec_id <> {query_id}
+ORDER BY cos DESC, vec_id ASC LIMIT {k}
+"""
+
+
+@register("ann_lsh_topk", _ann_lsh_sql())
 def ann_lsh_topk(spark, sf_dir):
     """Hyperplane-LSH bucketed ANN top-10 (multi-probe): the scale path
-    — bucket join instead of cross join (rows-only; recall measured in
-    tests/test_datapipe.py)."""
+    — bucket join instead of cross join. Now FULLY hash-checked: the
+    md5-seeded deterministic hyperplanes replay in SQL, so DuckDB
+    reproduces buckets, probes and scores exactly; recall vs exact
+    cosine additionally measured in tests/test_datapipe.py."""
     return _sim.lsh_bucket_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10)
 
 
@@ -1584,23 +1671,32 @@ def ft_dfi_chi2(spark, sf_dir):
     return ft(spark, sf_dir).dfi_term_query("spark", k=10)
 
 
-@register("ft_ib_spl", _ft_sql("""
+_IB_SPL_SQL_BODY = """
 SELECT doc_id, round(score, 6) AS score FROM (
   SELECT p.doc_id,
-         -(ln((pow((f.df + 1.0) / ((SELECT n FROM stats) + 1.0),
-                   (p.tf * (ln(1 + 1.0 * (SELECT avgdl FROM stats) / l.dl) / ln(2)))
-                   / ((p.tf * (ln(1 + 1.0 * (SELECT avgdl FROM stats) / l.dl) / ln(2))) + 1.0))
-               - (f.df + 1.0) / ((SELECT n FROM stats) + 1.0))
-              / (1 - (f.df + 1.0) / ((SELECT n FROM stats) + 1.0))) / ln(2)) AS score
-  FROM post p JOIN dfs f USING (term) JOIN dl l USING (doc_id)
+         -ln((pow(lm.lam,
+                  (p.tf * (ln(1 + 1.0 * (SELECT avgdl FROM stats) / l.dl) / ln(2)))
+                  / ((p.tf * (ln(1 + 1.0 * (SELECT avgdl FROM stats) / l.dl) / ln(2))) + 1.0))
+              - lm.lam) / (1 - lm.lam)) AS score
+  FROM post p
+  JOIN dl l USING (doc_id)
+  CROSS JOIN (SELECT CASE WHEN (df + 1.0) / ((SELECT n FROM stats) + 1.0) >= 1.0
+                          THEN 0.99
+                          ELSE (df + 1.0) / ((SELECT n FROM stats) + 1.0) END AS lam
+              FROM dfs WHERE term = 'spark') lm
   WHERE p.term = 'spark'
 )
 ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10
-"""))
+"""
+
+
+@register("ft_ib_spl", _ft_sql(_IB_SPL_SQL_BODY))
 def ft_ib_spl(spark, sf_dir):
     """IB SPL-D-H2 (IBSimilarity.java:93-99, DistributionSPL +
-    LambdaDF + NormalizationH2): lambda=(df+1)/(N+1),
-    tfn=tf*log2(1+avgdl/dl), score=-log2((lam^(tfn/(tfn+1))-lam)/(1-lam))."""
+    LambdaDF + NormalizationH2): lambda=(df+1)/(N+1) clamped to 0.99
+    at 1 (DistributionSPL's lambda==1 guard), tfn=tf*log2(1+avgdl/dl),
+    score=-ln((lam^(tfn/(tfn+1))-lam)/(1-lam)) — NATURAL log, matching
+    DistributionSPL's Math.log."""
     return ft(spark, sf_dir).ib_spl_term_query("spark", k=10)
 
 
@@ -1986,7 +2082,10 @@ def _build_gate_index(spark, sf_dir: str, tag: str, **build_kwargs) -> str:
 
 
 def _segment_index(spark, sf_dir: str) -> str:
-    return _build_gate_index(spark, sf_dir, "v3", analyzer="simple_stop")
+    # v4: stored fields on (content column in doc_meta) — feeds
+    # seg_highlight; tag bump invalidates the cached v3 gate index
+    return _build_gate_index(spark, sf_dir, "v4", analyzer="simple_stop",
+                             store=True)
 
 
 def _segment_index_mf(spark, sf_dir: str) -> str:
@@ -2557,6 +2656,168 @@ def ft_fuzzy_scored(spark, sf_dir):
     q = MultiTermQuery(kind="fuzzy", pattern="spark", max_edits=1,
                        rewrite_method="scoring_boolean")
     return _seg_topk(spark, s.search(q, k=10_000_000))
+
+
+# ---------------------------------------------------------------------------
+# Spans, sloppy phrases, pluggable similarities and passage scoring over
+# the PERSISTED SEGMENT INDEX — the 100-TB scale path answers the same
+# queries as the live FulltextIndex, checked against the SAME DuckDB
+# oracles as the live twins (the SQL string is shared by reference).
+# Blocks already persist positions and norms; these run block decode +
+# the shared expressions (similarities.py / spanmatch.py).
+# ---------------------------------------------------------------------------
+
+
+def _seg_scored_topk(df, k: int = 10):
+    """fulltext._topk semantics over a segment-scored (doc_id, score)
+    frame: round(score, 6) -> (score desc, doc_id asc) -> k."""
+    return (
+        df.select("doc_id", F.round(F.col("score"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+@register("seg_classic_tfidf", None)
+def seg_classic_tfidf(spark, sf_dir):
+    """ClassicSimilarity over the segment index (oracle shared with
+    ft_classic_tfidf via the registration below)."""
+    s = _seg_searcher(spark, sf_dir)
+    return _seg_scored_topk(s.similarity_term_query("spark", "classic"))
+
+
+@register("seg_lm_dirichlet", None)
+def seg_lm_dirichlet(spark, sf_dir):
+    """LMDirichletSimilarity over the segment index: block decode ->
+    shared lm_dirichlet_score expression (LMDirichletSimilarity.java:
+    60-68 is an index-native operation, not a re-analysis pass)."""
+    s = _seg_searcher(spark, sf_dir)
+    return _seg_scored_topk(s.similarity_term_query("spark", "lm_dirichlet"))
+
+
+@register("seg_lm_jelinek_mercer", None)
+def seg_lm_jelinek_mercer(spark, sf_dir):
+    s = _seg_searcher(spark, sf_dir)
+    return _seg_scored_topk(s.similarity_term_query("spark", "lm_jelinek_mercer"))
+
+
+@register("seg_dfr_inl2", None)
+def seg_dfr_inl2(spark, sf_dir):
+    s = _seg_searcher(spark, sf_dir)
+    return _seg_scored_topk(s.similarity_term_query("spark", "dfr_inl2"))
+
+
+@register("seg_dfi_chi2", None)
+def seg_dfi_chi2(spark, sf_dir):
+    s = _seg_searcher(spark, sf_dir)
+    return _seg_scored_topk(s.similarity_term_query("spark", "dfi_chi2"))
+
+
+@register("seg_ib_spl", None)
+def seg_ib_spl(spark, sf_dir):
+    s = _seg_searcher(spark, sf_dir)
+    return _seg_scored_topk(s.similarity_term_query("spark", "ib_spl"))
+
+
+@register("seg_axiomatic_f2exp", None)
+def seg_axiomatic_f2exp(spark, sf_dir):
+    s = _seg_searcher(spark, sf_dir)
+    return _seg_scored_topk(s.similarity_term_query("spark", "axiomatic_f2exp"))
+
+
+@register("seg_span_near", None)
+def seg_span_near(spark, sf_dir):
+    """SpanNearQuery over the segment index: FOR-decoded positions ->
+    per-doc array gather -> windowed tuple-weight expression
+    (spans/SpanNearQuery.java:42 as an index-native operation)."""
+    s = _seg_searcher(spark, sf_dir)
+    return _seg_scored_topk(s.span_near(["hash", "join", "scan"], slop=4))
+
+
+@register("seg_span_or", None)
+def seg_span_or(spark, sf_dir):
+    s = _seg_searcher(spark, sf_dir)
+    return _seg_scored_topk(s.span_or(["hash", "scan"]))
+
+
+@register("seg_span_first", None)
+def seg_span_first(spark, sf_dir):
+    s = _seg_searcher(spark, sf_dir)
+    return _seg_scored_topk(s.span_first("spark", end=10))
+
+
+@register("seg_span_not", None)
+def seg_span_not(spark, sf_dir):
+    s = _seg_searcher(spark, sf_dir)
+    return _seg_scored_topk(s.span_not("hash", "join", pre=1, post=1))
+
+
+@register("seg_span_containing", None)
+def seg_span_containing(spark, sf_dir):
+    s = _seg_searcher(spark, sf_dir)
+    return _seg_scored_topk(s.span_containing("hash", "scan", "join", slop=6))
+
+
+@register("seg_span_within", None)
+def seg_span_within(spark, sf_dir):
+    s = _seg_searcher(spark, sf_dir)
+    return _seg_scored_topk(s.span_within("join", "hash", "scan", slop=6))
+
+
+@register("seg_sloppy_phrase", None)
+def seg_sloppy_phrase(spark, sf_dir):
+    """2-term sloppy phrase "hash join"~2 over the segment index
+    (slot-adjusted |p2-p1-1| window — the n=2 case of sloppy_phrase)."""
+    s = _seg_searcher(spark, sf_dir)
+    return _seg_scored_topk(s.sloppy_phrase(["hash", "join"], slop=2))
+
+
+@register("seg_sloppy_phrase3", None)
+def seg_sloppy_phrase3(spark, sf_dir):
+    s = _seg_searcher(spark, sf_dir)
+    return _seg_scored_topk(s.sloppy_phrase(["hash", "join", "scan"], slop=3))
+
+
+@register("seg_passage_highlight", None)
+def seg_passage_highlight(spark, sf_dir):
+    """Passage scoring straight off the persisted positions — no
+    stored text needed (PassageScorer weights are idf-only)."""
+    s = _seg_searcher(spark, sf_dir)
+    return s.passage_highlight(["spark", "vector"], window=16, k=10)
+
+
+@register("seg_highlight", None)
+def seg_highlight(spark, sf_dir):
+    """Snippet highlighting from STORED FIELDS in the segment index
+    (store=True: content rides doc_meta parquet — the
+    Lucene50StoredFieldsFormat analog), so highlighting needs no
+    source-table join."""
+    s = _seg_searcher(spark, sf_dir)
+    return s.highlight("vector", window=30)
+
+
+# share the live twins' oracle SQL (same semantics over the same docs:
+# gate-index doc_ids equal source doc_ids by construction)
+for _seg_name, _ft_twin in [
+    ("seg_classic_tfidf", "ft_classic_tfidf"),
+    ("seg_lm_dirichlet", "ft_lm_dirichlet"),
+    ("seg_lm_jelinek_mercer", "ft_lm_jelinek_mercer"),
+    ("seg_dfr_inl2", "ft_dfr_inl2"),
+    ("seg_dfi_chi2", "ft_dfi_chi2"),
+    ("seg_ib_spl", "ft_ib_spl"),
+    ("seg_axiomatic_f2exp", "ft_axiomatic_f2exp"),
+    ("seg_span_near", "ft_span_near"),
+    ("seg_span_or", "ft_span_or"),
+    ("seg_span_first", "ft_span_first"),
+    ("seg_span_not", "ft_span_not"),
+    ("seg_span_containing", "ft_span_containing"),
+    ("seg_span_within", "ft_span_within"),
+    ("seg_sloppy_phrase", "ft_sloppy_phrase"),
+    ("seg_sloppy_phrase3", "ft_sloppy_phrase3"),
+    ("seg_passage_highlight", "ft_passage_highlight"),
+    ("seg_highlight", "ft_highlight"),
+]:
+    _REGISTRY[_seg_name] = (_REGISTRY[_seg_name][0], _REGISTRY[_ft_twin][1])
 
 
 # ---------------------------------------------------------------------------

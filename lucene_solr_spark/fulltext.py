@@ -406,234 +406,191 @@ class FulltextIndex:
             .select("doc_id", "score")
         )
 
+    def _term_tf_dl(self, term: str) -> DataFrame:
+        """(doc_id, tf, dl) for one term — the per-doc statistics every
+        SimilarityBase.score(freq, norm) expression consumes."""
+        return self.post.where(F.col("term") == term).join(self.dl, "doc_id")
+
+    def _empty_scored(self) -> DataFrame:
+        return self.df.sparkSession.createDataFrame([], "doc_id long, score double")
+
     def classic_term_query(self, term: str, k: int = 10) -> DataFrame:
         """TermQuery under ClassicSimilarity (TF-IDF) — the pluggable-
         Similarity point (SimilarityBase.score(freq, norm), SURVEY
-        §2.6/§2.12): same postings, different scoring expression."""
+        §2.6/§2.12): same postings, different scoring expression
+        (shared with the segment path via similarities.py)."""
+        from . import similarities as sims
+
         st = self.stats
         dfs = term_dfs(self.post, [term])
-        idf = 1.0 + math.log(st.doc_count / (dfs[term] + 1.0)) if st.doc_count else 0.0
-        sc = (
-            self.post.where(F.col("term") == term)
-            .join(self.dl, "doc_id")
-            .select("doc_id",
-                    classic_tfidf_expr(F.col("tf"), F.col("dl"), idf).alias("score"))
-        )
+        idf = sims.classic_idf(dfs[term], st.doc_count)
+        sc = self._term_tf_dl(term).select(
+            "doc_id",
+            sims.classic_score(F.col("tf"), F.col("dl"), idf=idf).alias("score"))
         return _topk(sc, k)
 
     def lm_dirichlet_term_query(self, term: str, k: int = 10,
                                 mu: float = 2000.0) -> DataFrame:
         """TermQuery under LMDirichletSimilarity (similarities/
-        LMDirichletSimilarity.java:60-68, default mu=2000):
-        score = ln(1 + tf/(mu * p(w|C))) + ln(mu/(dl + mu)), clamped at
-        0; p(w|C) = (totalTermFreq+1)/(sumTotalTermFreq+1)
-        (LMSimilarity.DefaultCollectionModel). Same one-scan postings
-        relation, different scoring expression — the pluggable
-        Similarity point."""
+        LMDirichletSimilarity.java:60-68, default mu=2000); scoring
+        expression shared with the segment path (similarities.py)."""
+        from . import similarities as sims
+
         st = self.stats
         ttf = term_ttfs(self.toks, [term])[term]
         if ttf == 0 or st.total_tokens == 0:
-            return self.df.sparkSession.createDataFrame([], "doc_id long, score double")
-        p_c = (ttf + 1.0) / (st.total_tokens + 1.0)
-        tf_d = F.col("tf").cast("double")
-        dl_d = F.col("dl").cast("double")
-        score = F.greatest(
-            F.log(F.lit(1.0) + tf_d / F.lit(mu * p_c))
-            + F.log(F.lit(mu) / (dl_d + F.lit(mu))),
-            F.lit(0.0),
-        )
-        sc = (
-            self.post.where(F.col("term") == term)
-            .join(self.dl, "doc_id")
-            .select("doc_id", score.alias("score"))
-        )
-        return _topk(sc, k)
+            return self._empty_scored()
+        score = sims.lm_dirichlet_score(
+            F.col("tf"), F.col("dl"), ttf=ttf, total_tokens=st.total_tokens, mu=mu)
+        return _topk(self._term_tf_dl(term).select("doc_id", score.alias("score")), k)
 
     def lm_jelinek_mercer_term_query(self, term: str, k: int = 10,
                                      lam: float = 0.7) -> DataFrame:
         """TermQuery under LMJelinekMercerSimilarity (similarities/
-        LMJelinekMercerSimilarity.java:55-60, lambda=0.7):
-        score = ln(1 + ((1-lambda) * tf/dl) / (lambda * p(w|C))),
-        p(w|C) = (ttf+1)/(sumTotalTermFreq+1)."""
+        LMJelinekMercerSimilarity.java:55-60, lambda=0.7)."""
+        from . import similarities as sims
+
         st = self.stats
         ttf = term_ttfs(self.toks, [term])[term]
         if ttf == 0 or st.total_tokens == 0:
-            return self.df.sparkSession.createDataFrame([], "doc_id long, score double")
-        p_c = (ttf + 1.0) / (st.total_tokens + 1.0)
-        tf_d = F.col("tf").cast("double")
-        dl_d = F.col("dl").cast("double")
-        score = F.log(
-            F.lit(1.0)
-            + (F.lit(1.0 - lam) * tf_d / dl_d) / F.lit(lam * p_c)
-        )
-        sc = (
-            self.post.where(F.col("term") == term)
-            .join(self.dl, "doc_id")
-            .select("doc_id", score.alias("score"))
-        )
-        return _topk(sc, k)
+            return self._empty_scored()
+        score = sims.lm_jelinek_mercer_score(
+            F.col("tf"), F.col("dl"), ttf=ttf, total_tokens=st.total_tokens, lam=lam)
+        return _topk(self._term_tf_dl(term).select("doc_id", score.alias("score")), k)
 
     def dfr_inl2_term_query(self, term: str, k: int = 10,
                             c: float = 1.0) -> DataFrame:
         """TermQuery under DFR I(n)L2 (similarities/DFRSimilarity.java:
-        BasicModelIn + AfterEffectL + NormalizationH2, c=1):
-        tfn = tf * log2(1 + c*avgdl/dl); score =
-        tfn * log2((N+1)/(df+0.5)) / (tfn + 1)."""
+        BasicModelIn + AfterEffectL + NormalizationH2, c=1)."""
+        from . import similarities as sims
+
         st = self.stats
         dfs = term_dfs(self.post, [term])
         if dfs[term] == 0:
-            return self.df.sparkSession.createDataFrame([], "doc_id long, score double")
-        tf_d = F.col("tf").cast("double")
-        dl_d = F.col("dl").cast("double")
-        ln2 = F.log(F.lit(2.0))
-        tfn = tf_d * (F.log(F.lit(1.0) + F.lit(c) * F.lit(st.avgdl) / dl_d) / ln2)
-        gain = F.log(
-            F.lit(float(st.doc_count + 1)) / F.lit(dfs[term] + 0.5)
-        ) / ln2
-        score = tfn * gain / (tfn + F.lit(1.0))
-        sc = (
-            self.post.where(F.col("term") == term)
-            .join(self.dl, "doc_id")
-            .select("doc_id", score.alias("score"))
-        )
-        return _topk(sc, k)
+            return self._empty_scored()
+        score = sims.dfr_inl2_score(
+            F.col("tf"), F.col("dl"), df=dfs[term], doc_count=st.doc_count,
+            avgdl=st.avgdl, c=c)
+        return _topk(self._term_tf_dl(term).select("doc_id", score.alias("score")), k)
 
     def dfi_term_query(self, term: str, k: int = 10) -> DataFrame:
         """TermQuery under DFI chi-squared (similarities/
-        DFISimilarity.java:69-77 + IndependenceChiSquared): expected =
-        (ttf + 1) * dl / (sumTotalTermFreq + 1); docs with tf <=
-        expected score 0 and are dropped (documented deviation: Lucene
-        keeps them as 0-score hits, which never reach a top-k over
-        positive-score docs); measure = (tf - expected)^2 / expected;
-        score = log2(measure + 1)."""
+        DFISimilarity.java:69-77 + IndependenceChiSquared); docs at or
+        below the independence expectation are dropped (documented
+        deviation — Lucene keeps them as 0-score hits, which never
+        reach a top-k over positive-score docs)."""
+        from . import similarities as sims
+
         st = self.stats
         ttf = term_ttfs(self.toks, [term])[term]
         if ttf == 0:
-            return self.df.sparkSession.createDataFrame([], "doc_id long, score double")
-        tf_d = F.col("tf").cast("double")
-        dl_d = F.col("dl").cast("double")
-        expected = F.lit(ttf + 1.0) * dl_d / F.lit(st.total_tokens + 1.0)
-        chi2 = (tf_d - expected) * (tf_d - expected) / expected
-        score = F.log(chi2 + F.lit(1.0)) / F.log(F.lit(2.0))
-        sc = (
-            self.post.where(F.col("term") == term)
-            .join(self.dl, "doc_id")
-            .where(tf_d > expected)
-            .select("doc_id", score.alias("score"))
-        )
+            return self._empty_scored()
+        score, keep = sims.dfi_chi2_score(
+            F.col("tf"), F.col("dl"), ttf=ttf, total_tokens=st.total_tokens)
+        sc = self._term_tf_dl(term).where(keep).select("doc_id", score.alias("score"))
         return _topk(sc, k)
 
     def ib_spl_term_query(self, term: str, k: int = 10,
                           c: float = 1.0) -> DataFrame:
         """TermQuery under IB SPL-D-H2 (similarities/IBSimilarity.java:
         93-99 with DistributionSPL + LambdaDF + NormalizationH2):
-        lambda = (df + 1)/(N + 1); tfn = tf * log2(1 + c*avgdl/dl);
-        score = -log2((lambda^(tfn/(tfn+1)) - lambda) / (1 - lambda))."""
+        natural-log score with the lambda==1 clamp, exactly as
+        DistributionSPL guards it (similarities.ib_spl_score)."""
+        from . import similarities as sims
+
         st = self.stats
         dfs = term_dfs(self.post, [term])
         if dfs[term] == 0:
-            return self.df.sparkSession.createDataFrame([], "doc_id long, score double")
-        lam = (dfs[term] + 1.0) / (st.doc_count + 1.0)
-        tf_d = F.col("tf").cast("double")
-        dl_d = F.col("dl").cast("double")
-        ln2 = F.log(F.lit(2.0))
-        tfn = tf_d * (F.log(F.lit(1.0) + F.lit(c) * F.lit(st.avgdl) / dl_d) / ln2)
-        score = -(
-            F.log(
-                (F.pow(F.lit(lam), tfn / (tfn + F.lit(1.0))) - F.lit(lam))
-                / F.lit(1.0 - lam)
-            )
-            / ln2
-        )
-        sc = (
-            self.post.where(F.col("term") == term)
-            .join(self.dl, "doc_id")
-            .select("doc_id", score.alias("score"))
-        )
-        return _topk(sc, k)
+            return self._empty_scored()
+        score = sims.ib_spl_score(
+            F.col("tf"), F.col("dl"), df=dfs[term], doc_count=st.doc_count,
+            avgdl=st.avgdl, c=c)
+        return _topk(self._term_tf_dl(term).select("doc_id", score.alias("score")), k)
 
     def axiomatic_f2exp_term_query(self, term: str, k: int = 10,
                                    s: float = 0.5,
                                    k_param: float = 0.35) -> DataFrame:
         """TermQuery under Axiomatic F2EXP (similarities/
-        AxiomaticF2EXP.java:52-74, s=0.5, k=0.35): score =
-        tf/(tf + s + s*dl/avgdl) * ((N+1)/df)^k — the tfln * idf
-        product (gamma = 0 for F2EXP)."""
+        AxiomaticF2EXP.java:52-74, s=0.5, k=0.35)."""
+        from . import similarities as sims
+
         st = self.stats
         dfs = term_dfs(self.post, [term])
         if dfs[term] == 0:
-            return self.df.sparkSession.createDataFrame([], "doc_id long, score double")
-        tf_d = F.col("tf").cast("double")
-        dl_d = F.col("dl").cast("double")
-        tfln = tf_d / (tf_d + F.lit(s) + F.lit(s) * dl_d / F.lit(st.avgdl))
-        idf = F.pow(
-            F.lit(float(st.doc_count + 1)) / F.lit(float(dfs[term])), F.lit(k_param))
-        score = tfln * idf
-        sc = (
-            self.post.where(F.col("term") == term)
-            .join(self.dl, "doc_id")
-            .select("doc_id", score.alias("score"))
-        )
+            return self._empty_scored()
+        score = sims.axiomatic_f2exp_score(
+            F.col("tf"), F.col("dl"), df=dfs[term], doc_count=st.doc_count,
+            avgdl=st.avgdl, s=s, k=k_param)
+        return _topk(self._term_tf_dl(term).select("doc_id", score.alias("score")), k)
+
+    def _gather_positions(self, terms: Sequence[str],
+                          shifts: Optional[Sequence[int]] = None) -> DataFrame:
+        """(doc_id, p0..p_{n-1}): each query slot's positions gathered
+        into a per-doc array in ONE shuffle (the exact-phrase matcher's
+        gather pattern). shifts: optional per-slot position offset
+        (slot-adjusted sloppy matching: q_i = p_i - i). A term repeated
+        in several slots lands in each slot's array."""
+        occ = self.toks.where(F.col("term").isin(sorted(set(terms))))
+        aggs = []
+        for i, t in enumerate(terms):
+            p = F.col("pos") - F.lit(int(shifts[i])) if shifts else F.col("pos")
+            aggs.append(
+                F.collect_list(F.when(F.col("term") == t, p)).alias(f"p{i}")
+            )
+        return occ.groupBy("doc_id").agg(*aggs)
+
+    def _score_gathered_freq(self, freq: DataFrame, idf_sum: float,
+                             k: int) -> DataFrame:
+        sc = freq.where(F.col("tf") > 0).join(self.dl, "doc_id").select(
+            "doc_id",
+            bm25_expr(F.col("tf"), F.col("dl"), idf_sum, self.stats.avgdl)
+            .alias("score"))
         return _topk(sc, k)
 
     def sloppy_phrase(self, t1: str, t2: str, slop: int = 2, k: int = 10) -> DataFrame:
         """Two-term sloppy phrase (SloppyPhraseMatcher; weight
-        1/(distance+1), BM25Similarity.sloppyFreq:77-79): positions
-        join with |p2 - p1 - 1| <= slop, phrase freq = sum of
-        1/(dist+1), scored like a term with summed idf."""
+        1/(distance+1), BM25Similarity.sloppyFreq:77-79): matches with
+        |p2 - p1 - 1| <= slop, phrase freq = sum of 1/(dist+1), scored
+        like a term with summed idf. Plan: per-doc position-array
+        gather + windowed spanmatch expression (one shuffle, no join
+        explosion) — |p2-p1-1| is the slot-adjusted width with
+        q2 = p2 - 1."""
+        from .spanmatch import near_weight
+
         st = self.stats
         dfs = term_dfs(self.post, [t1, t2])
         idf_sum = st.idf(dfs[t1]) + st.idf(dfs[t2])
-        a = self.toks.where(F.col("term") == t1).select("doc_id", F.col("pos").alias("p1"))
-        b = self.toks.where(F.col("term") == t2).select(
-            F.col("doc_id").alias("d2"), F.col("pos").alias("p2"))
-        dist = F.abs(F.col("p2") - F.col("p1") - 1)
-        pairs = a.join(b, (a["doc_id"] == b["d2"]) & (dist <= slop)).select(
-            "doc_id", (F.lit(1.0) / (dist.cast("double") + 1.0)).alias("w"))
-        freq = pairs.groupBy("doc_id").agg(F.sum("w").alias("tf"))
-        sc = freq.join(self.dl, "doc_id").select(
-            "doc_id", bm25_expr(F.col("tf"), F.col("dl"), idf_sum, st.avgdl).alias("score"))
-        return _topk(sc, k)
+        g = self._gather_positions([t1, t2], shifts=[0, 1])
+        w = near_weight([F.col("p0"), F.col("p1")], slop,
+                        ordered=False, width_offset=0)
+        return self._score_gathered_freq(
+            g.select("doc_id", w.alias("tf")), idf_sum, k)
 
     def span_near(self, terms: Sequence[str], slop: int = 2, k: int = 10,
                   ordered: bool = True) -> DataFrame:
         """SpanNearQuery (spans/SpanNearQuery.java:42): n sub-spans in
-        document order (ordered=True) within `slop` total gap. Matches
-        are enumerated as ordered position tuples p1 < p2 < ... < pn
-        with (pn - p1 + 1 - n) <= slop (tuple enumeration — a superset
+        document order (ordered=True) within `slop` total gap; every
+        position tuple p1 < ... < pn with (pn - p1 + 1 - n) <= slop
+        contributes weight 1/(dist+1) (tuple enumeration — a superset
         of Lucene's minimal-interval iteration, documented deviation);
-        each weighted 1/(dist+1) (SloppyPhraseMatcher weight), phrase
-        freq = sum of weights, scored like a term with summed idf.
-        Plan: n-1 positional self-joins on (doc_id, pos ordering) over
-        the exploded token relation — all JVM-side."""
+        phrase freq = sum of weights, scored like a term with summed
+        idf. Plan: one position-array gather shuffle + the windowed
+        spanmatch expression (spanmatch.near_weight) — the former n-1
+        positional self-joins materialized every tuple as a shuffled
+        row and degraded super-linearly on repeated frequent terms."""
+        from .spanmatch import near_weight
+
         st = self.stats
         dfs = term_dfs(self.post, list(terms))
         if any(dfs[t] == 0 for t in terms):
             return self.df.sparkSession.createDataFrame([], "doc_id long, score double")
         idf_sum = sum(st.idf(dfs[t]) for t in terms)
         n = len(terms)
-        cur = self.toks.where(F.col("term") == terms[0]).select(
-            "doc_id", F.col("pos").alias("p0"))
-        for i, t in enumerate(terms[1:], 1):
-            nxt = self.toks.where(F.col("term") == t).select(
-                F.col("doc_id").alias("d_"), F.col("pos").alias(f"p{i}"))
-            cond = (cur["doc_id"] == nxt["d_"])
-            if ordered:
-                cond = cond & (F.col(f"p{i}") > F.col(f"p{i-1}"))
-            cur = cur.join(nxt, cond).drop("d_")
-        dist = F.col(f"p{n-1}") - F.col("p0") + F.lit(1 - n)
-        if not ordered:
-            # unordered: width from the min/max of all positions
-            pmin = F.least(*[F.col(f"p{i}") for i in range(n)])
-            pmax = F.greatest(*[F.col(f"p{i}") for i in range(n)])
-            dist = pmax - pmin + F.lit(1 - n)
-        spans = cur.where(dist <= slop).select(
-            "doc_id", (F.lit(1.0) / (dist.cast("double") + 1.0)).alias("w"))
-        freq = spans.groupBy("doc_id").agg(F.sum("w").alias("tf"))
-        sc = freq.join(self.dl, "doc_id").select(
-            "doc_id",
-            bm25_expr(F.col("tf"), F.col("dl"), idf_sum, st.avgdl).alias("score"))
-        return _topk(sc, k)
+        g = self._gather_positions(list(terms))
+        w = near_weight([F.col(f"p{i}") for i in range(n)], slop,
+                        ordered=ordered, width_offset=1 - n)
+        return self._score_gathered_freq(
+            g.select("doc_id", w.alias("tf")), idf_sum, k)
 
     def span_or(self, terms: Sequence[str], k: int = 10) -> DataFrame:
         """SpanOrQuery over SpanTermQuery sub-spans (spans/
@@ -713,21 +670,6 @@ class FulltextIndex:
             bm25_expr(F.col("tf"), F.col("dl"), idf, st.avgdl).alias("score"))
         return _topk(sc, k)
 
-    def _near_pair_spans(self, t1: str, t2: str, slop: int) -> DataFrame:
-        """(doc_id, s, e, w): ordered 2-term near-spans — t1 at s,
-        t2 at e, e > s, gap (e - s - 1) <= slop, weight 1/(dist+1).
-        Shared by span_containing / span_within."""
-        a = self.toks.where(F.col("term") == t1).select("doc_id", F.col("pos").alias("s"))
-        b = self.toks.where(F.col("term") == t2).select(
-            F.col("doc_id").alias("d_"), F.col("pos").alias("e"))
-        dist = F.col("e") - F.col("s") - F.lit(1)
-        return (
-            a.join(b, (a["doc_id"] == b["d_"]) & (F.col("e") > F.col("s"))
-                   & (dist <= slop))
-            .select("doc_id", "s", "e",
-                    (F.lit(1.0) / (dist.cast("double") + 1.0)).alias("w"))
-        )
-
     def span_containing(self, t1: str, t2: str, little: str,
                         slop: int = 4, k: int = 10) -> DataFrame:
         """SpanContainingQuery (spans/SpanContainingQuery.java:35): big
@@ -735,56 +677,38 @@ class FulltextIndex:
         one `little` term span (s <= p <= e). Each surviving big span
         keeps its near-span weight 1/(dist+1); freq = sum; idf = sum
         over big AND little term stats (SpanContainQuery gathers both
-        sides' term contexts). Plan: the near-span position join + one
-        positional left-semi join for the containment test."""
+        sides' term contexts). Plan: one position-array gather shuffle
+        + the spanmatch containment expression (no pair-join rows)."""
+        from .spanmatch import containing_weight
+
         st = self.stats
         dfs = term_dfs(self.post, [t1, t2, little])
         if any(dfs[t] == 0 for t in (t1, t2, little)):
             return self.df.sparkSession.createDataFrame([], "doc_id long, score double")
         idf_sum = st.idf(dfs[t1]) + st.idf(dfs[t2]) + st.idf(dfs[little])
-        spans = self._near_pair_spans(t1, t2, slop)
-        lit_occ = self.toks.where(F.col("term") == little).select(
-            F.col("doc_id").alias("dl_"), F.col("pos").alias("p"))
-        kept = spans.join(
-            lit_occ,
-            (spans["doc_id"] == lit_occ["dl_"])
-            & (F.col("p") >= F.col("s")) & (F.col("p") <= F.col("e")),
-            "left_semi",
-        )
-        freq = kept.groupBy("doc_id").agg(F.sum("w").alias("tf"))
-        sc = freq.join(self.dl, "doc_id").select(
-            "doc_id",
-            bm25_expr(F.col("tf"), F.col("dl"), idf_sum, st.avgdl).alias("score"))
-        return _topk(sc, k)
+        g = self._gather_positions([t1, t2, little])
+        w = containing_weight(F.col("p0"), F.col("p1"), F.col("p2"), slop)
+        return self._score_gathered_freq(
+            g.select("doc_id", w.alias("tf")), idf_sum, k)
 
     def span_within(self, little: str, t1: str, t2: str,
                     slop: int = 4, k: int = 10) -> DataFrame:
         """SpanWithinQuery (spans/SpanWithinQuery.java:35): `little`
         term spans lying WITHIN some big span (ordered near(t1, t2)
         within slop). freq = count of such little occurrences (term
-        spans weigh 1); idf = sum over both sides' stats. Plan: one
-        positional left-semi join from little occurrences to the
-        near-span relation."""
+        spans weigh 1); idf = sum over both sides' stats. Plan: gather
+        + spanmatch within expression."""
+        from .spanmatch import within_count
+
         st = self.stats
         dfs = term_dfs(self.post, [t1, t2, little])
         if any(dfs[t] == 0 for t in (t1, t2, little)):
             return self.df.sparkSession.createDataFrame([], "doc_id long, score double")
         idf_sum = st.idf(dfs[little]) + st.idf(dfs[t1]) + st.idf(dfs[t2])
-        spans = self._near_pair_spans(t1, t2, slop).select(
-            F.col("doc_id").alias("ds_"), "s", "e")
-        lit_occ = self.toks.where(F.col("term") == little).select("doc_id", "pos")
-        kept = lit_occ.join(
-            spans,
-            (lit_occ["doc_id"] == spans["ds_"])
-            & (F.col("pos") >= F.col("s")) & (F.col("pos") <= F.col("e")),
-            "left_semi",
-        )
-        freq = kept.groupBy("doc_id").agg(
-            F.count(F.lit(1)).cast("double").alias("tf"))
-        sc = freq.join(self.dl, "doc_id").select(
-            "doc_id",
-            bm25_expr(F.col("tf"), F.col("dl"), idf_sum, st.avgdl).alias("score"))
-        return _topk(sc, k)
+        g = self._gather_positions([little, t1, t2])
+        w = within_count(F.col("p0"), F.col("p1"), F.col("p2"), slop)
+        return self._score_gathered_freq(
+            g.select("doc_id", w.alias("tf")), idf_sum, k)
 
     def suggest(self, prefix: str, n: int = 10) -> DataFrame:
         """Prefix suggester (AnalyzingSuggester.java:121 analog): top-N
@@ -803,31 +727,23 @@ class FulltextIndex:
         tuple matches when max(q) - min(q) <= slop (out-of-order within
         the slop window allowed, like Lucene's edit-distance slop);
         weight 1/(w+1) per tuple, phrase freq = sum, scored as a term
-        with summed idf. Tuple enumeration (documented deviation from
-        minimal-window matching); repeated terms unsupported here."""
-        if len(set(terms)) != len(terms):
-            raise ValueError("sloppy_phrase_multi: repeated terms unsupported")
+        with summed idf. Tuple semantics via the windowed spanmatch
+        expression (one gather shuffle, no join explosion). Repeated
+        terms land in each of their slots (each slot gathers its own
+        array), matching the enumeration the SQL oracle runs."""
+        from .spanmatch import near_weight
+
         st = self.stats
         dfs = term_dfs(self.post, list(terms))
         if any(dfs[t] == 0 for t in terms):
             return self.df.sparkSession.createDataFrame([], "doc_id long, score double")
         idf_sum = sum(st.idf(dfs[t]) for t in terms)
         n = len(terms)
-        cur = self.toks.where(F.col("term") == terms[0]).select(
-            "doc_id", (F.col("pos") - 0).alias("q0"))
-        for i, t in enumerate(terms[1:], 1):
-            nxt = self.toks.where(F.col("term") == t).select(
-                F.col("doc_id").alias("d_"), (F.col("pos") - i).alias(f"q{i}"))
-            cur = cur.join(nxt, cur["doc_id"] == nxt["d_"]).drop("d_")
-        qs = [F.col(f"q{i}") for i in range(n)]
-        w = F.greatest(*qs) - F.least(*qs) if n > 1 else F.lit(0)
-        spans = cur.where(w <= slop).select(
-            "doc_id", (F.lit(1.0) / (w.cast("double") + 1.0)).alias("w"))
-        freq = spans.groupBy("doc_id").agg(F.sum("w").alias("tf"))
-        sc = freq.join(self.dl, "doc_id").select(
-            "doc_id",
-            bm25_expr(F.col("tf"), F.col("dl"), idf_sum, st.avgdl).alias("score"))
-        return _topk(sc, k)
+        g = self._gather_positions(list(terms), shifts=list(range(n)))
+        w = near_weight([F.col(f"p{i}") for i in range(n)], slop,
+                        ordered=False, width_offset=0)
+        return self._score_gathered_freq(
+            g.select("doc_id", w.alias("tf")), idf_sum, k)
 
     def suggest_infix(self, fragment: str, n: int = 10) -> DataFrame:
         """Infix suggester (suggest/.../analyzing/

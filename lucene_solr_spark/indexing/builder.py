@@ -61,15 +61,20 @@ INVERT_SCHEMA = (
 )
 
 
-def invert_schema(field_specs: Optional[List[FieldSpec]]) -> str:
+def invert_schema(field_specs: Optional[List[FieldSpec]],
+                  store: bool = False) -> str:
     """Chamber output schema; multi-field builds add one per-field
     doc-length column (fdl_<name>) to the doc-meta rows — the FieldInfos
-    per-field stats ride these (docCount(field), sumTotalTermFreq(field))."""
-    if not field_specs:
-        return INVERT_SCHEMA
-    return INVERT_SCHEMA + ", " + ", ".join(
-        f"{fdl_col(fs.name)} int" for fs in field_specs
-    )
+    per-field stats ride these (docCount(field), sumTotalTermFreq(field));
+    store=True adds the stored-content column (the Lucene stored-fields
+    analog, codecs/lucene50/Lucene50StoredFieldsFormat.java:44-58 —
+    parquet's columnar compression replaces the chunked-LZ4 format)."""
+    out = INVERT_SCHEMA
+    if field_specs:
+        out += ", " + ", ".join(f"{fdl_col(fs.name)} int" for fs in field_specs)
+    if store:
+        out += ", content string"
+    return out
 
 CHUNK_BITS = 13  # 8192-doc chunks: the unit of mega-term splitting
 BLOCK = 128
@@ -137,7 +142,8 @@ def _pack_partition(batches: Iterator[pd.DataFrame], with_positions: bool) -> It
 
 def _make_invert_fn(analyzer: str, norms: str, with_positions: bool,
                     flush_tokens: int = FLUSH_TOKENS,
-                    field_specs: Optional[List[FieldSpec]] = None):
+                    field_specs: Optional[List[FieldSpec]] = None,
+                    store: bool = False):
     """Per-partition fused analyze+invert ("DWPT chamber",
     DocumentsWriterPerThread / TermsHashPerField.add:
     index/DefaultIndexingChain.java:763-869):
@@ -154,13 +160,11 @@ def _make_invert_fn(analyzer: str, norms: str, with_positions: bool,
     Memory: the chamber flushes whenever `flush_tokens` tokens are
     buffered (flush-by-RAM analog, FlushByRamOrCountsPolicy.java:58).
     """
-    from ..analysis import (
-        ENGLISH_STOP_WORDS, MAX_TOKEN_LENGTH, _SIMPLE_TOKEN_RE, _TOKEN_RE,
-        analyze_field, invert_tokens,
-    )
-    from ..smallfloat import int_to_byte4, int_to_byte4_np
+    from ..analysis import analyze_field, vectorized_field_tokens
+    from ..smallfloat import int_to_byte4_np
 
-    all_cols = [c.strip().split()[0] for c in invert_schema(field_specs).split(",")]
+    all_cols = [c.strip().split()[0]
+                for c in invert_schema(field_specs, store).split(",")]
 
     def pad(df: pd.DataFrame) -> pd.DataFrame:
         for c in all_cols:
@@ -169,32 +173,55 @@ def _make_invert_fn(analyzer: str, norms: str, with_positions: bool,
         return df[all_cols]
 
     def invert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        acc: dict = {}
-        # vectorized single-field buffers: flat token/doc/pos/norm arrays
+        # vectorized token buffers: flat (term, doc, pos, norm) arrays
         vbufs: List[Tuple[np.ndarray, np.ndarray, Optional[np.ndarray], np.ndarray]] = []
         n_buffered = 0
+
+        def invert_field_column(contents: pd.Series, fanalyzer: str,
+                                prefix: str, doc_ids_arr: np.ndarray) -> np.ndarray:
+            """Vectorized invert of one field column into vbufs (term
+            keys get `prefix`); returns per-row field lengths. Rows the
+            vectorized tokenizer can't handle (rare Unicode under
+            'standard'; non-vectorizable analyzers) run the per-doc
+            analyze_field reference path — parity, not the hot path."""
+            flat, kept_doc, kept_pos, lengths, fb = vectorized_field_tokens(
+                contents, fanalyzer, with_positions)
+            fb_rows: List[Tuple[int, dict]] = []
+            for i in fb:
+                per_doc, length = analyze_field(contents.iloc[i], fanalyzer)
+                lengths[i] = length
+                fb_rows.append((i, per_doc))
+            nb_doc = (int_to_byte4_np(lengths) if norms == "byte"
+                      else lengths).astype(np.int64)
+            if len(kept_doc):
+                terms = (
+                    (prefix + pd.Series(flat, dtype=object)).to_numpy()
+                    if prefix else flat
+                )
+                vbufs.append((
+                    terms,
+                    doc_ids_arr[kept_doc],
+                    kept_pos if with_positions else None,
+                    nb_doc[kept_doc],
+                ))
+            for i, per_doc in fb_rows:
+                for term, plist in per_doc.items():
+                    m = len(plist)
+                    vbufs.append((
+                        np.full(m, prefix + term, dtype=object),
+                        np.full(m, doc_ids_arr[i], dtype=np.int64),
+                        np.asarray(plist, dtype=np.int64) if with_positions else None,
+                        np.full(m, nb_doc[i], dtype=np.int64),
+                    ))
+            return lengths
 
         def flush() -> pd.DataFrame:
             """Group the buffered token arrays into per-(term, doc)
             postings and FOR-128 block rows: factorize + ONE lexsort +
             numpy run-length encoding — the only Python loop is per
             DISTINCT TERM (split_blocks), same as _pack_partition."""
-            nonlocal acc, vbufs, n_buffered
+            nonlocal vbufs, n_buffered
             rows: List[dict] = []
-            for term, (docs, tfs, nbs, plist) in acc.items():
-                p = None
-                if with_positions:
-                    p = np.asarray([x for sub in plist for x in sub], dtype=np.int64)
-                for blk in split_blocks(
-                    np.asarray(docs, dtype=np.int64),
-                    np.asarray(tfs, dtype=np.int64),
-                    np.asarray(nbs, dtype=np.int64),
-                    np.asarray(nbs, dtype=np.int64),
-                    p,
-                ):
-                    rows.append({"kind": "blk", "term": term,
-                                 **{k: blk[k] for k in ("n", "min_doc", "max_doc",
-                                                        "max_tf", "sum_tf", "min_norm", "blob")}})
             if vbufs:
                 T = np.concatenate([b[0] for b in vbufs])
                 D = np.concatenate([b[1] for b in vbufs])
@@ -231,60 +258,50 @@ def _make_invert_fn(analyzer: str, norms: str, with_positions: bool,
                         rows.append({"kind": "blk", "term": term,
                                      **{k: blk[k] for k in ("n", "min_doc", "max_doc",
                                                             "max_tf", "sum_tf", "min_norm", "blob")}})
-            acc = {}
             vbufs = []
             n_buffered = 0
             return pad(pd.DataFrame(rows)) if rows else None
 
         for pdf in batches:
+            doc_ids_arr = pdf["doc_id"].to_numpy(dtype=np.int64)
+            ndocs = len(pdf)
             if field_specs is not None:
-                # multi-field chamber: invert each field with its own
-                # analyzer; term keys are (field \x1f term); the norm
-                # byte per posting is THAT FIELD's length norm; per-doc
-                # per-field lengths land in fdl_* doc-meta columns
-                doc_rows = {k: [] for k in ("doc_id", "repo", "path", "commit",
-                                            "lang", "length", "norm", "sha256")}
+                # -- multi-field chamber, vectorized per field ---------
+                # each field runs the SAME vectorized token path as the
+                # single-field chamber (per-Arrow-batch pandas str ops
+                # + numpy), with field-prefixed term keys and THAT
+                # FIELD's length norm per posting; per-doc per-field
+                # lengths land in fdl_* doc-meta columns. No per-doc
+                # Python except the sha hash and analyzer fallbacks.
+                total_len = np.zeros(ndocs, dtype=np.int64)
+                field_texts: List[pd.Series] = []
+                doc_rows: dict = {}
                 for fs in field_specs:
-                    doc_rows[fdl_col(fs.name)] = []
-                src_iters = [pdf[fs.source_col] for fs in field_specs]
-                for doc_id, repo, path, commit, lang, *field_vals in zip(
-                    pdf["doc_id"], pdf["repo"], pdf["path"], pdf["commit"],
-                    pdf["lang"], *src_iters,
-                ):
-                    d = int(doc_id)
-                    total_len = 0
-                    texts = []
-                    for fs, val in zip(field_specs, field_vals):
-                        text = val or ""
-                        texts.append(text)
-                        per_doc, length = analyze_field(text, fs.analyzer)
-                        nb = int_to_byte4(length) if norms == "byte" else length
-                        pre = fs.name + FIELD_SEP
-                        for term, plist in per_doc.items():
-                            slot = acc.get(pre + term)
-                            if slot is None:
-                                acc[pre + term] = slot = ([], [], [], [])
-                            slot[0].append(d)
-                            slot[1].append(len(plist))
-                            slot[2].append(nb)
-                            if with_positions:
-                                slot[3].append(plist)
-                        total_len += length
-                        doc_rows[fdl_col(fs.name)].append(length)
-                    n_buffered += total_len
-                    doc_rows["doc_id"].append(d)
-                    doc_rows["repo"].append(repo)
-                    doc_rows["path"].append(path)
-                    doc_rows["commit"].append(commit)
-                    doc_rows["lang"].append(lang)
-                    doc_rows["length"].append(total_len)
-                    doc_rows["norm"].append(
-                        int_to_byte4(total_len) if norms == "byte" else total_len
-                    )
-                    doc_rows["sha256"].append(
-                        hashlib.sha256(FIELD_SEP.join(texts).encode()).hexdigest()
-                    )
-                df_docs = pd.DataFrame(doc_rows)
+                    contents = pdf[fs.source_col].fillna("").astype(str)
+                    field_texts.append(contents)
+                    lengths = invert_field_column(
+                        contents, fs.analyzer, fs.name + FIELD_SEP, doc_ids_arr)
+                    doc_rows[fdl_col(fs.name)] = lengths
+                    total_len += lengths
+                n_buffered += int(total_len.sum())
+                sha_src = field_texts[0]
+                for t in field_texts[1:]:
+                    sha_src = sha_src + FIELD_SEP + t
+                df_docs = pd.DataFrame(
+                    {
+                        "doc_id": doc_ids_arr,
+                        "repo": pdf["repo"].to_numpy(),
+                        "path": pdf["path"].to_numpy(),
+                        "commit": pdf["commit"].to_numpy(),
+                        "lang": pdf["lang"].to_numpy(),
+                        "length": total_len,
+                        "norm": (int_to_byte4_np(total_len) if norms == "byte"
+                                 else total_len).astype(np.int64),
+                        "sha256": [hashlib.sha256(t.encode()).hexdigest()
+                                   for t in sha_src],
+                        **doc_rows,
+                    }
+                )
                 df_docs.insert(0, "kind", "doc")
                 yield pad(df_docs)
                 if n_buffered >= flush_tokens:
@@ -293,79 +310,12 @@ def _make_invert_fn(analyzer: str, norms: str, with_positions: bool,
                         yield out
                 continue
             # -- single-field path, fully vectorized tokenization ------
-            # (per-Arrow-batch pandas str ops + numpy; no per-token and
-            # no per-doc Python in the hot path — the input_hint's
-            # "vectorized pandas/Arrow UDFs" contract). "standard" docs
-            # whose lower() changes string length (rare Unicode) fall
-            # back to the reference per-doc path for exact parity.
+            # (analysis.vectorized_field_tokens: no per-token and no
+            # per-doc Python in the hot path — the input_hint's
+            # "vectorized pandas/Arrow UDFs" contract; rare Unicode
+            # rows under "standard" take the per-doc parity fallback)
             contents = pdf["content"].fillna("").astype(str)
-            doc_ids_arr = pdf["doc_id"].to_numpy(dtype=np.int64)
-            ndocs = len(pdf)
-            low = contents.str.lower()
-            if analyzer == "standard":
-                fb_mask = (low.str.len() != contents.str.len()).to_numpy()
-                tok_lists = low.str.findall(_TOKEN_RE)
-            else:
-                # "simple" (no stop) / "simple_stop": the SQL-replicable
-                # chain — lets DuckDB verify the SEGMENT engine
-                fb_mask = np.zeros(ndocs, dtype=bool)
-                tok_lists = low.str.findall(_SIMPLE_TOKEN_RE)
-            counts = np.fromiter((len(x) for x in tok_lists),
-                                 dtype=np.int64, count=ndocs)
-            counts[fb_mask] = 0  # fallback docs handled separately
-            total = int(counts.sum())
-            flat = np.empty(total, dtype=object)
-            k = 0
-            for i, lst in enumerate(tok_lists):
-                if fb_mask[i]:
-                    continue
-                flat[k:k + len(lst)] = lst
-                k += len(lst)
-            docloc = np.repeat(np.arange(ndocs), counts)
-            offs = np.cumsum(counts) - counts
-            pre_pos = np.arange(total, dtype=np.int64) - np.repeat(offs, counts)
-            tok_s = pd.Series(flat, dtype=object)
-            if analyzer in ("standard", "simple_stop"):
-                keep = ~tok_s.isin(ENGLISH_STOP_WORDS).to_numpy()
-            else:
-                keep = np.ones(total, dtype=bool)
-            if analyzer == "standard" and total:
-                keep &= (tok_s.str.len() <= MAX_TOKEN_LENGTH).to_numpy()
-            kept_doc = docloc[keep]
-            lengths = np.bincount(kept_doc, minlength=ndocs).astype(np.int64)
-            if with_positions:
-                if analyzer == "standard":
-                    # pre-filter positions: stop/overlong leave gaps
-                    kept_pos = pre_pos[keep]
-                else:
-                    # simple chain: positions compacted POST-filter
-                    koffs = np.cumsum(lengths) - lengths
-                    kept_pos = (np.arange(len(kept_doc), dtype=np.int64)
-                                - koffs[kept_doc])
-            # fallback docs (exact invert_tokens parity)
-            fb_rows: List[Tuple[int, dict, int]] = []
-            for i in np.flatnonzero(fb_mask):
-                per_doc, length = invert_tokens(contents.iloc[i])
-                lengths[i] = length
-                fb_rows.append((i, per_doc, length))
-            nb_doc = (int_to_byte4_np(lengths) if norms == "byte"
-                      else lengths).astype(np.int64)
-            if len(kept_doc):
-                vbufs.append((
-                    flat[keep],
-                    doc_ids_arr[kept_doc],
-                    kept_pos if with_positions else None,
-                    nb_doc[kept_doc],
-                ))
-            for i, per_doc, length in fb_rows:
-                for term, plist in per_doc.items():
-                    m = len(plist)
-                    vbufs.append((
-                        np.full(m, term, dtype=object),
-                        np.full(m, doc_ids_arr[i], dtype=np.int64),
-                        np.asarray(plist, dtype=np.int64) if with_positions else None,
-                        np.full(m, nb_doc[i], dtype=np.int64),
-                    ))
+            lengths = invert_field_column(contents, analyzer, "", doc_ids_arr)
             n_buffered += int(lengths.sum())
 
             df_docs = pd.DataFrame(
@@ -376,11 +326,14 @@ def _make_invert_fn(analyzer: str, norms: str, with_positions: bool,
                     "commit": pdf["commit"].to_numpy(),
                     "lang": pdf["lang"].to_numpy(),
                     "length": lengths,
-                    "norm": nb_doc,
+                    "norm": (int_to_byte4_np(lengths) if norms == "byte"
+                             else lengths).astype(np.int64),
                     "sha256": [hashlib.sha256(t.encode()).hexdigest()
                                for t in contents],
                 }
             )
+            if store:
+                df_docs["content"] = contents.to_numpy(dtype=object)
             df_docs.insert(0, "kind", "doc")
             yield pad(df_docs)
             if n_buffered >= flush_tokens:
@@ -406,6 +359,7 @@ def build_segment(
     assume_sorted: bool = False,
     fields=None,
     index_sort: Optional[List[str]] = None,
+    store: bool = False,
 ) -> dict:
     """Build one segment from a corpus batch. Returns counters.
 
@@ -428,6 +382,10 @@ def build_segment(
     from pyspark.sql import functions as F
 
     field_specs = normalize_fields(fields) if fields is not None else None
+    if store and field_specs:
+        raise ValueError("store=True supports single-field builds; "
+                         "multi-field stored fields: store each source "
+                         "column in its own single-field index")
     parts = num_partitions or spark.sparkContext.defaultParallelism
     t0 = time.time()
     phases = {}
@@ -440,8 +398,9 @@ def build_segment(
     phases["ids"] = round(time.time() - t0, 2)
 
     inverted = with_ids.mapInPandas(
-        _make_invert_fn(analyzer, norms, positions, field_specs=field_specs),
-        schema=invert_schema(field_specs),
+        _make_invert_fn(analyzer, norms, positions, field_specs=field_specs,
+                        store=store),
+        schema=invert_schema(field_specs, store),
     )
 
     # ONE pass, ONE write: the chamber output lands partitioned by kind
@@ -456,8 +415,12 @@ def build_segment(
     # the small metadata columns back from the written postings)
     tp = time.time()
     blocks = spark.read.parquet(manifest_mod.postings_path(seg_dir))
+    # gmax_tf / gmin_norm: per-term GLOBAL block-max inputs — the WAND
+    # slack bound reads them straight from term_stats (no per-query
+    # metadata job; Ding & Suel 2011 block-max table, persisted)
     term_stats = blocks.groupBy("term").agg(
-        F.sum("n").alias("df"), F.sum("sum_tf").alias("ttf")
+        F.sum("n").alias("df"), F.sum("sum_tf").alias("ttf"),
+        F.max("max_tf").alias("gmax_tf"), F.min("min_norm").alias("gmin_norm"),
     )
     term_stats.write.mode("overwrite").parquet(os.path.join(seg_dir, "term_stats.parquet"))
     phases["stats"] = round(time.time() - tp, 2)
@@ -533,6 +496,7 @@ def build_index(
     fields=None,
     min_doc_base: int = 0,
     index_sort: Optional[List[str]] = None,
+    store: bool = False,
 ) -> Manifest:
     """Log-structured index build: one segment per batch, manifest commit
     after each — resumable at batch granularity (north rule). Completed
@@ -542,53 +506,67 @@ def build_index(
     of the contract: docID bases are assigned cumulatively.
     fail_after_batch: test hook — simulate a crash after N batches.
     """
+    from .manifest import commit_lock
+
     store = ManifestStore(index_dir)
-    manifest = store.load()
-    if index_sort is not None:
-        if manifest.segments and manifest.index_sort != list(index_sort):
-            raise ValueError(
-                f"index_sort {list(index_sort)} conflicts with existing "
-                f"index sort {manifest.index_sort} (IndexWriterConfig "
-                "forbids changing the index sort of an existing index)")
-        manifest.index_sort = list(index_sort)
-    done = manifest.completed_batches()
+    lock = commit_lock(index_dir)
+    with lock:
+        manifest = store.load()
+        if index_sort is not None:
+            if manifest.segments and manifest.index_sort != list(index_sort):
+                raise ValueError(
+                    f"index_sort {list(index_sort)} conflicts with existing "
+                    f"index sort {manifest.index_sort} (IndexWriterConfig "
+                    "forbids changing the index sort of an existing index)")
+        effective_sort = (list(index_sort) if index_sort is not None
+                          else manifest.index_sort)
     for i, (batch_id, df) in enumerate(corpus_batches):
-        if batch_id in done:
-            continue
+        # reload under the commit lock every batch: a BACKGROUND merge
+        # (indexing/scheduler.py) may have swapped segments between
+        # batches, and committing a stale snapshot would clobber it
+        with lock:
+            manifest = store.load()
+            if batch_id in manifest.completed_batches():
+                continue
+            # allocate from the persisted high-water mark, never
+            # total_docs: after a purging merge, total_docs < already-
+            # assigned max ID and reusing IDs of live docs would corrupt
+            # scoring and deletes. min_doc_base floors a shard's id
+            # range (MultiReader requires disjoint per-shard ranges)
+            doc_base = max(manifest.next_doc_id, manifest.total_docs, min_doc_base)
         seg_name = f"seg_{batch_id}"
         seg_dir = store.segment_dir(seg_name)
-        # allocate from the persisted high-water mark, never total_docs:
-        # after a purging merge, total_docs < already-assigned max ID and
-        # reusing IDs of live docs would corrupt scoring and deletes.
-        # min_doc_base floors a shard's id range (MultiReader requires
-        # disjoint per-shard ranges)
-        doc_base = max(manifest.next_doc_id, manifest.total_docs, min_doc_base)
         counters = build_segment(
             spark, df, seg_dir, doc_base=doc_base,
             analyzer=analyzer, norms=norms, positions=positions,
             assume_sorted=assume_sorted, fields=fields,
-            index_sort=manifest.index_sort,
+            index_sort=effective_sort, store=store,
         )
-        manifest.next_doc_id = doc_base + counters["doc_count"]
-        manifest.segments.append(
-            SegmentInfo(
-                name=seg_name,
-                doc_base=doc_base,
-                doc_count=counters["doc_count"],
-                sum_dl=counters["sum_dl"],
-                size_bytes=counters["size_bytes"],
-                source_batch=batch_id,
-                field_stats=counters.get("field_stats"),
+        with lock:
+            manifest = store.load()
+            manifest.index_sort = effective_sort
+            manifest.next_doc_id = max(
+                manifest.next_doc_id, doc_base + counters["doc_count"])
+            manifest.segments.append(
+                SegmentInfo(
+                    name=seg_name,
+                    doc_base=doc_base,
+                    doc_count=counters["doc_count"],
+                    sum_dl=counters["sum_dl"],
+                    size_bytes=counters["size_bytes"],
+                    source_batch=batch_id,
+                    field_stats=counters.get("field_stats"),
+                )
             )
-        )
-        manifest = store.commit(
-            manifest,
-            lineage_entry={
-                "kind": "build",
-                "batch": batch_id,
-                **{k: counters[k] for k in ("doc_count", "sum_dl", "wall_s", "sha_mismatches")},
-            },
-        )
+            manifest = store.commit(
+                manifest,
+                lineage_entry={
+                    "kind": "build",
+                    "batch": batch_id,
+                    **{k: counters[k] for k in ("doc_count", "sum_dl", "wall_s", "sha_mismatches")},
+                },
+            )
         if fail_after_batch is not None and i + 1 >= fail_after_batch:
             raise KeyboardInterrupt(f"simulated crash after batch {batch_id}")
-    return manifest
+    with lock:
+        return store.load()

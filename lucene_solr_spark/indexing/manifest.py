@@ -26,9 +26,27 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import threading
 import time
 from dataclasses import asdict, dataclass, field
 from typing import Dict, List, Optional
+
+# Per-index commit serialization (the IndexWriter commitLock analog,
+# index/IndexWriter.java commitLock): concurrent driver threads — a
+# batch build and background merges — serialize ONLY the
+# load-mutate-commit critical section; the heavy Spark work runs
+# outside it. Process-wide by index path.
+_COMMIT_LOCKS: Dict[str, threading.Lock] = {}
+_COMMIT_LOCKS_GUARD = threading.Lock()
+
+
+def commit_lock(index_dir: str) -> threading.Lock:
+    key = os.path.abspath(index_dir)
+    with _COMMIT_LOCKS_GUARD:
+        lock = _COMMIT_LOCKS.get(key)
+        if lock is None:
+            _COMMIT_LOCKS[key] = lock = threading.Lock()
+        return lock
 
 
 @dataclass

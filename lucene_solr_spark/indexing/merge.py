@@ -113,9 +113,73 @@ def run_merge(spark, store: ManifestStore, manifest: Manifest,
     and the manifest commit is the only visibility point — a crash at
     any moment leaves the old generation live (kill/resume test relies
     on this)."""
-    from pyspark.sql import functions as F
+    t0 = time.time()
+    merged_info = _merge_data(spark, store, inputs, num_partitions)
+    in_names = {s.name for s in inputs}
+    manifest.segments = [s for s in manifest.segments if s.name not in in_names]
+    manifest.segments.append(merged_info)
+    manifest.segments.sort(key=lambda s: s.doc_base)
+    manifest = store.commit(
+        manifest,
+        lineage_entry={
+            "kind": "merge",
+            "inputs": sorted(in_names),
+            "output": merged_info.name,
+            "wall_s": time.time() - t0,
+        },
+    )
+    # old segment dirs are now garbage; reclaim (safe post-commit)
+    for s in inputs:
+        shutil.rmtree(store.segment_dir(s.name), ignore_errors=True)
+    return manifest
+
+
+def run_merge_concurrent(spark, store: ManifestStore,
+                         inputs: List[SegmentInfo],
+                         num_partitions: Optional[int] = None) -> Optional[Manifest]:
+    """Background-thread merge (ConcurrentMergeScheduler's OneMerge):
+    the heavy Spark work runs WITHOUT any lock against the inputs'
+    immutable segment dirs; the manifest swap takes the per-index
+    commit lock, RELOADS the live manifest (a batch build may have
+    committed meanwhile) and re-validates that every input is still
+    live — if another merge claimed one, the output is abandoned
+    (garbage, never corruption). Returns the committed manifest, or
+    None if abandoned."""
+    from .manifest import commit_lock
 
     t0 = time.time()
+    merged_info = _merge_data(spark, store, inputs, num_partitions)
+    in_names = {s.name for s in inputs}
+    with commit_lock(store.index_dir):
+        manifest = store.load()
+        live = {s.name for s in manifest.segments}
+        if not in_names <= live:
+            shutil.rmtree(store.segment_dir(merged_info.name), ignore_errors=True)
+            return None
+        manifest.segments = [s for s in manifest.segments if s.name not in in_names]
+        manifest.segments.append(merged_info)
+        manifest.segments.sort(key=lambda s: s.doc_base)
+        manifest = store.commit(
+            manifest,
+            lineage_entry={
+                "kind": "merge",
+                "inputs": sorted(in_names),
+                "output": merged_info.name,
+                "concurrent": True,
+                "wall_s": time.time() - t0,
+            },
+        )
+    for s in inputs:
+        shutil.rmtree(store.segment_dir(s.name), ignore_errors=True)
+    return manifest
+
+
+def _merge_data(spark, store: ManifestStore, inputs: List[SegmentInfo],
+                num_partitions: Optional[int] = None) -> SegmentInfo:
+    """The merge's data phase: read + purge + re-pack + write the merged
+    segment dir. Touches NO manifest state — inputs are immutable once
+    committed, so this is safe off-thread."""
+    from pyspark.sql import functions as F
     parts = num_partitions or spark.sparkContext.defaultParallelism
     name = merged_segment_name(inputs)
     out_dir = store.segment_dir(name)
@@ -180,7 +244,8 @@ def run_merge(spark, store: ManifestStore, manifest: Manifest,
 
     new_blocks = spark.read.parquet(os.path.join(out_dir, "postings.parquet"))
     new_blocks.groupBy("term").agg(
-        F.sum("n").alias("df"), F.sum("sum_tf").alias("ttf")
+        F.sum("n").alias("df"), F.sum("sum_tf").alias("ttf"),
+        F.max("max_tf").alias("gmax_tf"), F.min("min_norm").alias("gmin_norm"),
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "term_stats.parquet"))
 
     meta = spark.read.parquet(*[doc_meta_path(d) for d in in_dirs])
@@ -210,7 +275,7 @@ def run_merge(spark, store: ManifestStore, manifest: Manifest,
         for dp, _, fns in os.walk(out_dir)
         for fn in fns
     )
-    merged_info = SegmentInfo(
+    return SegmentInfo(
         name=name,
         doc_base=min(s.doc_base for s in inputs),
         doc_count=int(live_row["n"]),
@@ -219,23 +284,6 @@ def run_merge(spark, store: ManifestStore, manifest: Manifest,
         source_batch=f"merge:{'+'.join(s.source_batch for s in inputs)}",
         field_stats=merged_field_stats,
     )
-    in_names = {s.name for s in inputs}
-    manifest.segments = [s for s in manifest.segments if s.name not in in_names]
-    manifest.segments.append(merged_info)
-    manifest.segments.sort(key=lambda s: s.doc_base)
-    manifest = store.commit(
-        manifest,
-        lineage_entry={
-            "kind": "merge",
-            "inputs": sorted(in_names),
-            "output": name,
-            "wall_s": time.time() - t0,
-        },
-    )
-    # old segment dirs are now garbage; reclaim (safe post-commit)
-    for d in in_dirs:
-        shutil.rmtree(d, ignore_errors=True)
-    return manifest
 
 
 def _repack_aggregated(batches: Iterator[pd.DataFrame], with_positions: bool) -> Iterator[pd.DataFrame]:

@@ -54,8 +54,13 @@ def early_terminating_topk(df: DataFrame, sort_cols: Sequence[str], k: int,
     order is the sort order) — NOT for a multi-file sorted table. For
     the engine's own multi-file segment indexes use
     IndexReader.sorted_head, which gets early termination from a
-    pushed-down doc_id range predicate instead of scan order."""
-    if presorted:
+    pushed-down doc_id range predicate instead of scan order.
+
+    The single-split precondition is cheaply checkable, so it is
+    ENFORCED rather than trusted: a presorted source that plans more
+    than one partition falls back to the always-correct TakeOrdered
+    path (silently-wrong rank order is worse than a Sort)."""
+    if presorted and df.rdd.getNumPartitions() <= 1:
         return df.limit(k)
     return df.orderBy(*sort_cols).limit(k)
 
@@ -70,10 +75,21 @@ def collect_with_timeout(df: DataFrame, timeout_s: float) -> List:
     sc.setJobGroup(group, "TimeLimitingCollector analog",
                    interruptOnCancel=True)
     fired = threading.Event()
+    done = threading.Event()
 
     def cancel():
+        # a single cancelJobGroup races job SUBMISSION: a deadline that
+        # fires during query planning (before the first job registers)
+        # would cancel nothing and the job would then run to completion
+        # ("Cannot find active jobs for it"). Keep re-cancelling until
+        # the collect returns, so late-starting jobs die too.
         fired.set()
-        sc.cancelJobGroup(group)
+        while not done.is_set():
+            try:
+                sc.cancelJobGroup(group)
+            except Exception:
+                pass
+            done.wait(0.25)
 
     timer = threading.Timer(timeout_s, cancel)
     timer.start()
@@ -90,5 +106,6 @@ def collect_with_timeout(df: DataFrame, timeout_s: float) -> List:
             raise TimeExceeded(timeout_s) from exc
         raise
     finally:
+        done.set()
         timer.cancel()
         sc.setLocalProperty("spark.jobGroup.id", None)

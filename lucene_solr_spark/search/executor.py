@@ -121,13 +121,18 @@ class IndexReader:
         group past the head — no Sort, no full read),
         then one tiny merge sort over the <= k * n_segments survivors
         (the TopFieldDocs.merge step). Correct because the builder
-        assigned docIDs in index_sort order, so each segment's physical
-        doc order IS the sort; appended batches must be monotone in the
-        sort key for merged/multi-segment indexes (the log-structured
-        ingestion contract — same precondition Lucene's collector
-        trusts). Falls back is the caller's full orderBy; refuses when
-        deletes exist (a tombstone inside the head-k would silently
-        under-fill)."""
+        assigned docIDs in index_sort order, so each chamber-built
+        segment's docID order IS its sort order.
+
+        The fast path is GUARDED, not assumed (the density/order
+        preconditions are checkable, so check them):
+          - deletes or merged segments (merge keeps global docIDs, so
+            purged deletes leave gaps and cross-batch docID order is
+            only the sort order if batches arrived monotone) -> full
+            TakeOrdered over doc_meta (always correct);
+          - otherwise one tiny count job verifies every segment head
+            yields min(k, doc_count) rows (docID density) and falls
+            back to the full sort on any shortfall."""
         from functools import reduce
 
         from pyspark.sql import DataFrame, functions as F
@@ -135,11 +140,21 @@ class IndexReader:
         sort = self.manifest.index_sort
         if not sort:
             raise ValueError("index has no index_sort (build with index_sort=[...])")
-        if self.has_deletes:
-            raise ValueError("sorted_head with deletes would under-fill; "
-                             "merge-purge first or run the full sort")
+
+        def full_sort():
+            return self.live(self.doc_meta).orderBy(
+                *[F.col(c) for c in sort], F.asc("doc_id")
+            ).limit(k)
+
+        segs = self.manifest.segments
+        if self.has_deletes or any(
+            s.name.startswith("seg_m_")
+            or str(s.source_batch).startswith("merge:")
+            for s in segs
+        ):
+            return full_sort()
         heads = []
-        for s in self.manifest.segments:
+        for i, s in enumerate(segs):
             d = self.store.segment_dir(s.name)
             # docIDs are dense in sort order within the segment, so the
             # segment's first k docs are exactly ids < doc_base + k: a
@@ -149,9 +164,20 @@ class IndexReader:
             heads.append(
                 self.spark.read.parquet(doc_meta_path(d))
                 .where(F.col("doc_id") < s.doc_base + k)
+                .withColumn("_seg", F.lit(i))
             )
         merged = reduce(DataFrame.unionByName, heads)
-        return merged.orderBy(
+        # density check: each head must hold exactly min(k, doc_count)
+        # rows or the head predicate missed live docs — one job over
+        # the already-pruned head rows (<= k * n_segments of them)
+        got = {
+            r["_seg"]: r["cnt"]
+            for r in merged.groupBy("_seg").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        for i, s in enumerate(segs):
+            if got.get(i, 0) != min(k, s.doc_count):
+                return full_sort()
+        return merged.drop("_seg").orderBy(
             *[F.col(c) for c in sort], F.asc("doc_id")
         ).limit(k)
 
@@ -175,6 +201,26 @@ class IndexReader:
             .collect()
         )
         return {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
+
+    def term_wand_stats(self, terms: List[str]) -> Optional[Dict[str, Tuple[int, int]]]:
+        """Per-term GLOBAL (max_tf, min_norm) — the persisted block-max
+        table inputs for WAND slack bounds (written into term_stats at
+        build/merge time, so the pruned search needs no extra metadata
+        job). None for indexes built before these columns existed."""
+        from pyspark.sql import functions as F
+
+        if not terms or "gmax_tf" not in self.stats.columns:
+            return None
+        rows = (
+            self.stats.where(F.col("term").isin(list(terms)))
+            .groupBy("term")
+            .agg(F.max("gmax_tf").alias("mt"), F.min("gmin_norm").alias("mn"))
+            .collect()
+        )
+        out = {r["term"]: (r["mt"], r["mn"]) for r in rows}
+        if any(v[0] is None or v[1] is None for v in out.values()):
+            return None  # mixed old/new segments: fall back
+        return {t: (int(mt), int(mn)) for t, (mt, mn) in out.items()}
 
     def expand(self, q: MultiTermQuery, max_terms: int = 4096) -> List[str]:
         """Expand a multi-term query against the distinct-terms table
@@ -277,6 +323,7 @@ class MultiReader:
 
     live = IndexReader.live
     term_stats = IndexReader.term_stats
+    term_wand_stats = IndexReader.term_wand_stats
     collection_stats = IndexReader.collection_stats
     expand = IndexReader.expand
 
@@ -550,6 +597,392 @@ class Searcher:
 
         scored = freq.mapInPandas(score_rows, "doc_id long, score double")
         return scored.select(F.lit(cid).cast("int").alias("clause_id"), "doc_id", "score")
+
+    # -- segment-native positions / similarities / spans ---------------------
+    #
+    # The scale-path (persisted FOR-128 segments) answers the SAME span,
+    # sloppy-phrase and pluggable-Similarity queries as the live
+    # FulltextIndex: blocks already store positions and norms, so these
+    # are decode + the shared scoring/matching expressions
+    # (similarities.py, spanmatch.py) — wiring, not re-analysis.
+    # Scoring here is float64 (the SQL-oracle precision); the float32
+    # Lucene-bit-parity claim covers the BM25 term/boolean/phrase paths.
+
+    def _decode_positions_df(self, term_keys: List[str]):
+        """(doc_id, term, norm, pos) occurrence rows decoded from the
+        position-bearing blocks of the given term-dict keys. Positions
+        are presented 1-BASED (pos0 + 1), matching the live tokens
+        relation and the SQL oracles; blocks store 0-based positions."""
+        from pyspark.sql import functions as F
+
+        def decode_pos(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                cols_doc, cols_term, cols_nb, cols_pos = [], [], [], []
+                for term, blob in zip(pdf["term"], pdf["blob"]):
+                    doc_ids, tfs, norms, pos = decode_block_positions(bytes(blob))
+                    cols_doc.append(np.repeat(doc_ids, tfs))
+                    cols_nb.append(np.repeat(norms, tfs))
+                    cols_term.append(np.full(len(pos), term, dtype=object))
+                    cols_pos.append(pos + 1)
+                if cols_doc:
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": np.concatenate(cols_doc),
+                            "term": np.concatenate(cols_term),
+                            "norm": np.concatenate(cols_nb),
+                            "pos": np.concatenate(cols_pos),
+                        }
+                    )
+
+        return (
+            self.reader.blocks.where(F.col("term").isin(sorted(set(term_keys))))
+            .select("term", "blob")
+            .mapInPandas(decode_pos, "doc_id long, term string, norm int, pos long")
+        )
+
+    def _dl_col(self, norm_col):
+        """Document length from the stored norm: exact mode stores the
+        length itself; byte mode decodes the SmallFloat quantized
+        length (exactly what Lucene similarities see at query time)."""
+        from pyspark.sql import functions as F
+
+        if self.reader.norms == "byte":
+            table = F.array(*[F.lit(float(v)) for v in LENGTH_TABLE.tolist()])
+            return F.element_at(table, (norm_col % 256) + F.lit(1))
+        return norm_col
+
+    def _gather_positions(self, term_keys: List[str],
+                          shifts: Optional[List[int]] = None):
+        """(doc_id, dl, p0..p_{n-1}): per-doc position arrays per query
+        slot — ONE decode pass + ONE shuffle (the exact-phrase gather
+        pattern generalized to spans)."""
+        from pyspark.sql import functions as F
+
+        occ = self._decode_positions_df(term_keys)
+        aggs = [F.first("norm").alias("norm")]
+        for i, t in enumerate(term_keys):
+            p = F.col("pos") - F.lit(int(shifts[i])) if shifts else F.col("pos")
+            aggs.append(
+                F.collect_list(F.when(F.col("term") == t, p)).alias(f"p{i}")
+            )
+        g = occ.groupBy("doc_id").agg(*aggs)
+        return g.withColumn("dl", self._dl_col(F.col("norm"))).drop("norm")
+
+    def _span_stats(self, term_keys: List[str], field: Optional[str]):
+        """(idf_sum, avgdl) for a span query: per-term BM25 idf summed
+        over ALL enclosed terms (SpanWeight.buildSimWeight collects
+        every termContext); empty-df terms make the span unmatchable."""
+        from .. import similarities as sims
+
+        n, sttf = self.reader.collection_stats(field)
+        if n <= 0:
+            return None
+        stats = self.reader.term_stats(sorted(set(term_keys)))
+        if any(stats.get(t, (0, 0))[0] == 0 for t in term_keys):
+            return None
+        idf_sum = sum(sims.idf_bm25(stats[t][0], n) for t in set(term_keys))
+        return idf_sum, sttf / n
+
+    def _score_span_freq(self, freq_df, idf_sum: float, avgdl: float):
+        """BM25-score a (doc_id, dl, tf) span-frequency frame."""
+        from pyspark.sql import functions as F
+
+        from .. import similarities as sims
+
+        sc = freq_df.where(F.col("tf") > 0).select(
+            "doc_id",
+            sims.bm25_score(F.col("tf"), F.col("dl"), idf=idf_sum, avgdl=avgdl)
+            .alias("score"),
+        )
+        return self.reader.live(sc)
+
+    def _empty_scored(self):
+        return self.reader.spark.createDataFrame([], "doc_id long, score double")
+
+    def span_near(self, terms: List[str], slop: int = 2,
+                  ordered: bool = True, field: Optional[str] = None):
+        """SpanNearQuery over the segment index (spans/
+        SpanNearQuery.java:42): decode positions -> per-doc array
+        gather -> windowed tuple-weight expression (spanmatch) ->
+        BM25 with summed idf. Same semantics as FulltextIndex.span_near
+        and the same SQL oracle."""
+        from pyspark.sql import functions as F
+
+        from ..spanmatch import near_weight
+
+        keys = [term_key(field, t) for t in terms]
+        st = self._span_stats(keys, field)
+        if st is None:
+            return self._empty_scored()
+        idf_sum, avgdl = st
+        n = len(keys)
+        g = self._gather_positions(keys)
+        w = near_weight([F.col(f"p{i}") for i in range(n)], slop,
+                        ordered=ordered, width_offset=1 - n)
+        return self._score_span_freq(
+            g.select("doc_id", "dl", w.alias("tf")), idf_sum, avgdl)
+
+    def sloppy_phrase(self, terms: List[str], slop: int = 2,
+                      field: Optional[str] = None):
+        """Sloppy phrase over the segment index (SloppyPhraseMatcher):
+        slot-adjusted positions q_i = p_i - i, tuple weight 1/(w+1)
+        with w = max(q) - min(q) <= slop — the n-term generalization,
+        identical to FulltextIndex.sloppy_phrase_multi (and to the
+        2-term |p2-p1-1| form, which is its n=2 case)."""
+        from pyspark.sql import functions as F
+
+        from ..spanmatch import near_weight
+
+        keys = [term_key(field, t) for t in terms]
+        st = self._span_stats(keys, field)
+        if st is None:
+            return self._empty_scored()
+        idf_sum, avgdl = st
+        n = len(keys)
+        g = self._gather_positions(keys, shifts=list(range(n)))
+        w = near_weight([F.col(f"p{i}") for i in range(n)], slop,
+                        ordered=False, width_offset=0)
+        return self._score_span_freq(
+            g.select("doc_id", "dl", w.alias("tf")), idf_sum, avgdl)
+
+    def span_or(self, terms: List[str], field: Optional[str] = None):
+        """SpanOrQuery over term sub-spans (spans/SpanOrQuery.java:38):
+        freq = summed tf across terms (term spans never overlap
+        themselves), idf = sum over the enclosed terms' stats. Needs no
+        positions — one block decode + hash agg."""
+        from pyspark.sql import functions as F
+
+        keys = [term_key(field, t) for t in terms]
+        st = self._span_stats(keys, field)
+        if st is None:
+            return self._empty_scored()
+        idf_sum, avgdl = st
+        per_doc = (
+            self._tf_dl_df(keys)
+            .groupBy("doc_id")
+            .agg(F.sum("tf").cast("double").alias("tf"), F.first("dl").alias("dl"))
+        )
+        return self._score_span_freq(per_doc, idf_sum, avgdl)
+
+    def span_first(self, term: str, end: int, field: Optional[str] = None):
+        """SpanFirstQuery (spans/SpanFirstQuery.java:33): occurrences
+        at 1-based position <= end; freq = matching occurrences."""
+        from pyspark.sql import functions as F
+
+        key = term_key(field, term)
+        st = self._span_stats([key], field)
+        if st is None:
+            return self._empty_scored()
+        idf, avgdl = st
+        occ = self._decode_positions_df([key]).where(F.col("pos") <= end)
+        freq = occ.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("double").alias("tf"),
+            F.first("norm").alias("norm"),
+        ).withColumn("dl", self._dl_col(F.col("norm")))
+        return self._score_span_freq(freq, idf, avgdl)
+
+    def span_not(self, include: str, exclude: str, pre: int = 0,
+                 post: int = 0, field: Optional[str] = None):
+        """SpanNotQuery (spans/SpanNotQuery.java:44): include
+        occurrences with no exclude occurrence within [p-pre, p+post];
+        the exclusion contributes no stats (SpanNotWeight)."""
+        from pyspark.sql import functions as F
+
+        from ..spanmatch import span_not_count
+
+        ikey, xkey = term_key(field, include), term_key(field, exclude)
+        st = self._span_stats([ikey], field)
+        if st is None:
+            return self._empty_scored()
+        idf, avgdl = st
+        g = self._gather_positions([ikey, xkey])
+        w = span_not_count(F.col("p0"), F.col("p1"), pre, post)
+        return self._score_span_freq(
+            g.select("doc_id", "dl", w.alias("tf")), idf, avgdl)
+
+    def span_containing(self, t1: str, t2: str, little: str, slop: int = 4,
+                        field: Optional[str] = None):
+        """SpanContainingQuery over the segment index
+        (spans/SpanContainingQuery.java:35)."""
+        from pyspark.sql import functions as F
+
+        from ..spanmatch import containing_weight
+
+        keys = [term_key(field, t) for t in (t1, t2, little)]
+        st = self._span_stats(keys, field)
+        if st is None:
+            return self._empty_scored()
+        idf_sum, avgdl = st
+        g = self._gather_positions(keys)
+        w = containing_weight(F.col("p0"), F.col("p1"), F.col("p2"), slop)
+        return self._score_span_freq(
+            g.select("doc_id", "dl", w.alias("tf")), idf_sum, avgdl)
+
+    def span_within(self, little: str, t1: str, t2: str, slop: int = 4,
+                    field: Optional[str] = None):
+        """SpanWithinQuery over the segment index
+        (spans/SpanWithinQuery.java:35)."""
+        from pyspark.sql import functions as F
+
+        from ..spanmatch import within_count
+
+        keys = [term_key(field, t) for t in (little, t1, t2)]
+        st = self._span_stats(keys, field)
+        if st is None:
+            return self._empty_scored()
+        idf_sum, avgdl = st
+        g = self._gather_positions(keys)
+        w = within_count(F.col("p0"), F.col("p1"), F.col("p2"), slop)
+        return self._score_span_freq(
+            g.select("doc_id", "dl", w.alias("tf")), idf_sum, avgdl)
+
+    def _tf_dl_df(self, term_keys: List[str]):
+        """(doc_id, term, tf, dl) decoded from blocks — the per-doc
+        statistics every SimilarityBase.score(freq, norm) consumes."""
+        from pyspark.sql import functions as F
+
+        def decode_tf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                docs, terms_o, tfs, nbs = [], [], [], []
+                for term, blob in zip(pdf["term"], pdf["blob"]):
+                    d, f, nb = decode_block(bytes(blob))
+                    docs.append(d)
+                    terms_o.append(np.full(len(d), term, dtype=object))
+                    tfs.append(f)
+                    nbs.append(nb)
+                if docs:
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": np.concatenate(docs),
+                            "term": np.concatenate(terms_o),
+                            "tf": np.concatenate(tfs),
+                            "norm": np.concatenate(nbs),
+                        }
+                    )
+
+        df = (
+            self.reader.blocks.where(F.col("term").isin(sorted(set(term_keys))))
+            .select("term", "blob")
+            .mapInPandas(decode_tf, "doc_id long, term string, tf long, norm int")
+        )
+        return df.withColumn("dl", self._dl_col(F.col("norm"))).drop("norm")
+
+    SIMILARITIES = ("bm25", "classic", "lm_dirichlet", "lm_jelinek_mercer",
+                    "dfr_inl2", "dfi_chi2", "ib_spl", "axiomatic_f2exp")
+
+    def similarity_term_query(self, term: str, sim: str,
+                              field: Optional[str] = None, **params):
+        """TermQuery under a pluggable Similarity over the SEGMENT
+        index (the SimilarityBase.score(freq, norm) plug point,
+        similarities/SimilarityBase.java:71): one block decode to
+        (doc_id, tf, dl), then the shared scoring expression from
+        similarities.py — identical float64 math to the live path and
+        the SQL oracles. Collection stats come from the manifest +
+        term_stats (no corpus scan)."""
+        from pyspark.sql import functions as F
+
+        from .. import similarities as sims
+
+        key = term_key(field, term)
+        n, sttf = self.reader.collection_stats(field)
+        if n <= 0:
+            return self._empty_scored()
+        df_, ttf = self.reader.term_stats([key]).get(key, (0, 0))
+        if df_ == 0:
+            return self._empty_scored()
+        avgdl = sttf / n
+        tfdl = self._tf_dl_df([key])
+        tf, dl = F.col("tf"), F.col("dl")
+        if sim == "bm25":
+            score = sims.bm25_score(tf, dl, idf=sims.idf_bm25(df_, n), avgdl=avgdl,
+                                    **params)
+        elif sim == "classic":
+            score = sims.classic_score(tf, dl, idf=sims.classic_idf(df_, n),
+                                       **params)
+        elif sim == "lm_dirichlet":
+            score = sims.lm_dirichlet_score(tf, dl, ttf=ttf, total_tokens=sttf,
+                                            **params)
+        elif sim == "lm_jelinek_mercer":
+            score = sims.lm_jelinek_mercer_score(tf, dl, ttf=ttf,
+                                                 total_tokens=sttf, **params)
+        elif sim == "dfr_inl2":
+            score = sims.dfr_inl2_score(tf, dl, df=df_, doc_count=n,
+                                        avgdl=avgdl, **params)
+        elif sim == "dfi_chi2":
+            score, keep = sims.dfi_chi2_score(tf, dl, ttf=ttf,
+                                              total_tokens=sttf, **params)
+            tfdl = tfdl.where(keep)
+        elif sim == "ib_spl":
+            score = sims.ib_spl_score(tf, dl, df=df_, doc_count=n,
+                                      avgdl=avgdl, **params)
+        elif sim == "axiomatic_f2exp":
+            score = sims.axiomatic_f2exp_score(tf, dl, df=df_, doc_count=n,
+                                               avgdl=avgdl, **params)
+        else:
+            raise ValueError(f"unknown similarity: {sim}")
+        return self.reader.live(tfdl.select("doc_id", score.alias("score")))
+
+    def passage_highlight(self, terms: List[str], window: int = 16,
+                          k: int = 10, field: Optional[str] = None):
+        """UnifiedHighlighter passage scoring over the SEGMENT index
+        (UnifiedHighlighter.java:92, PassageScorer): needs only the
+        persisted positions + term stats — no stored text. Fixed-width
+        token passages, passage score = sum of matched terms' idf,
+        best passage per doc, top-k docs. Same plan shape as the live
+        path: one aggregation + one window."""
+        from pyspark.sql import Window, functions as F
+
+        from .. import similarities as sims
+
+        keys = [term_key(field, t) for t in terms]
+        n, _ = self.reader.collection_stats(field)
+        stats = self.reader.term_stats(sorted(set(keys)))
+        live = [t for t in keys if stats.get(t, (0, 0))[0] > 0]
+        if not live or n <= 0:
+            return self.reader.spark.createDataFrame(
+                [], "doc_id long, passage long, score double")
+        idf_col = F.lit(0.0)
+        for t in live:
+            idf_col = F.when(
+                F.col("term") == t, F.lit(sims.idf_bm25(stats[t][0], n))
+            ).otherwise(idf_col)
+        occ = self.reader.live(self._decode_positions_df(live)).select(
+            "doc_id",
+            F.floor((F.col("pos") - 1) / float(window)).cast("long").alias("passage"),
+            idf_col.alias("w"),
+        )
+        scored = occ.groupBy("doc_id", "passage").agg(F.sum("w").alias("score"))
+        rn = F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("passage"))
+        )
+        best = scored.withColumn("rn", rn).where(F.col("rn") == 1).drop("rn")
+        return (
+            best.select("doc_id", "passage", F.round("score", 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def highlight(self, term: str, window: int = 30):
+        """Stored-field snippet highlighting over the SEGMENT index:
+        +-window chars around the first occurrence, matching docs only
+        — requires the index built with store=True (the stored-fields
+        analog, Lucene50StoredFieldsFormat.java:44-58; content rides
+        the doc-meta parquet, so this is a map-only scan with the
+        LIKE-style locate pushed into codegen)."""
+        from pyspark.sql import functions as F
+
+        dm = self.reader.doc_meta
+        if "content" not in dm.columns:
+            raise ValueError(
+                "index carries no stored fields; build with store=True")
+        low = F.lower(F.col("content"))
+        pos = F.locate(term, low)  # 1-based, 0 = no match
+        start = F.greatest(pos - window, F.lit(1))
+        snippet = F.substring(low, start, F.lit(2 * window) + F.length(F.lit(term)))
+        return self.reader.live(
+            dm.select("doc_id", pos.alias("pos"), snippet.alias("snippet"))
+            .where(F.col("pos") > 0)
+        )
 
     # -- boolean composition --------------------------------------------------
 
@@ -893,6 +1326,43 @@ class Searcher:
         slack = {t: total_wv - v for t, v in ub_wv.items()}
         return winfo, ub_wv, slack
 
+    def _term_global_ub(self, term: str, winfo: dict, wv_total: float,
+                        gstats: Tuple[int, int]) -> float:
+        """Upper bound on a term's total per-doc contribution from its
+        persisted global (max_tf, min_norm): BM25 is increasing in tf
+        and decreasing in doc length, so UB(gmax_tf, nv(gmin_norm))
+        dominates every block's UB (it pairs the best tf with the best
+        norm, possibly from different blocks — valid, slightly looser
+        than the true max block UB, and FREE at query time)."""
+        gmax_tf, gmin_norm = gstats
+        w = winfo[next(k for k in winfo if k.startswith(term + "\x00"))]
+        if self.reader.norms == "byte":
+            if self.precision == "float32":
+                nv = float(np.asarray(w["cache"], dtype=np.float64)[gmin_norm & 0xFF])
+            else:
+                nv = 1.2 * (0.25 + 0.75 * float(LENGTH_TABLE[gmin_norm & 0xFF]) / w["avgdl"])
+        else:
+            avgdl = w["avgdl32"] if self.precision == "float32" else w["avgdl"]
+            nv = 1.2 * (0.25 + 0.75 * float(gmin_norm) / avgdl)
+        return wv_total * gmax_tf / (gmax_tf + nv)
+
+    def _global_max_ubs(self, terms_with_boost: List[Tuple[str, float]]) -> Dict[str, float]:
+        """Per-term GLOBAL max block upper bound — ONE tiny metadata
+        aggregation (term, max_tf, min_norm only; Catalyst prunes the
+        blob column from the parquet scan, so postings bytes never
+        leave disk). This is the block-max table of Ding & Suel 2011:
+        slack built from max-UBs is far tighter than the weight-value
+        (tf -> infinity) bound, because real blocks saturate at the
+        observed max_tf / min_norm, not at the asymptote."""
+        from pyspark.sql import functions as F
+
+        rows = (
+            self._block_upper_bounds(terms_with_boost)
+            .groupBy("term").agg(F.max("ub").alias("mx"))
+            .collect()
+        )
+        return {r["term"]: float(r["mx"]) for r in rows}
+
     def _block_upper_bounds(self, terms_with_boost: List[Tuple[str, float]]):
         """Block metadata + per-block upper-bound score UB.
 
@@ -978,16 +1448,51 @@ class Searcher:
         exhaustive one (shadow-verified in tests/test_wand.py). Emitted
         rows are per-clause and the final aggregation uses the same
         ordered conditional-sum shape as _eval_boolean, so scores are
-        bit-identical to the exhaustive path."""
+        bit-identical to the exhaustive path.
+
+        Multi-term slack: slack(t) = sum of the OTHER terms' GLOBAL max
+        block UB (one metadata-only pre-agg, Ding & Suel block-max
+        bound) — the former sum-of-weight-values bound is the tf->inf
+        asymptote and pruned almost nothing on OR queries.
+
+        Deletes: tombstones are broadcast into the partition and
+        filtered BEFORE theta computation (liveDocs applied per leaf,
+        like Weight.scorerSupplier under LRUQueryCache's liveDocs), so
+        incremental indexes keep the one-job plan; the multiwave path
+        survives only as the shadow oracle and the fallback for
+        pathologically large tombstone sets."""
         from pyspark.sql import functions as F
 
+        del_arr = None
         if self.reader.has_deletes:
-            # theta must lower-bound the k-th LIVE score; the partition
-            # can't see tombstones, so take the deletes-aware path
-            return self._search_pruned_or_multiwave(terms_with_boost, k)
+            # theta must lower-bound the k-th LIVE score: ship the
+            # tombstone set to the partitions (sorted for searchsorted).
+            # Un-merged tombstone sets are small by construction (merge
+            # purges them); cap the broadcast defensively.
+            del_rows = self.reader.deletes.select("doc_id").collect()
+            if len(del_rows) > 2_000_000:
+                return self._search_pruned_or_multiwave(terms_with_boost, k)
+            del_arr = np.sort(np.array([r["doc_id"] for r in del_rows],
+                                       dtype=np.int64))
 
         clause_terms = [(i, t, b) for i, (t, b) in enumerate(terms_with_boost)]
         winfo, ub_wv, slack = self._per_clause_params(clause_terms)
+        if len(ub_wv) > 1:
+            # tighten: replace the weight-value (tf->inf) slack with a
+            # global block-max slack. Preferred source: the per-term
+            # (gmax_tf, gmin_norm) persisted in term_stats (free — the
+            # same tiny filtered scan term stats already take); fallback
+            # for old indexes: one metadata-only agg over the blocks
+            gws = self.reader.term_wand_stats(sorted(ub_wv))
+            if gws is not None and all(t in gws for t in ub_wv):
+                gmax = {
+                    t: self._term_global_ub(t, winfo, ub_wv[t], gws[t])
+                    for t in ub_wv
+                }
+            else:
+                gmax = self._global_max_ubs(terms_with_boost)
+            total = sum(gmax.values())
+            slack = {t: total - gmax.get(t, 0.0) for t in ub_wv}
         by_term: Dict[str, List[Tuple[int, float]]] = {}
         for cid, t, b in clause_terms:
             by_term.setdefault(t, []).append((cid, b))
@@ -997,7 +1502,7 @@ class Searcher:
         spark = self.reader.spark
         bc = spark.sparkContext.broadcast(
             {"by_term": by_term, "winfo": winfo, "ub_wv": ub_wv,
-             "slack": slack, "k": k}
+             "slack": slack, "k": k, "deletes": del_arr}
         )
 
         def _clause_scores(term: str, tfs: np.ndarray, norms: np.ndarray, info):
@@ -1068,8 +1573,19 @@ class Searcher:
             out_doc: List[np.ndarray] = []
             out_score: List[np.ndarray] = []
 
+            dels = info["deletes"]
+
             def decode(idx: int) -> None:
                 doc_ids, tfs, norms = decode_block(bytes(blobs[idx]))
+                if dels is not None and len(dels):
+                    # liveDocs per leaf: searchsorted probe against the
+                    # broadcast (sorted) tombstone set
+                    p = np.minimum(np.searchsorted(dels, doc_ids), len(dels) - 1)
+                    keep = dels[p] != doc_ids
+                    if not keep.all():
+                        doc_ids, tfs, norms = doc_ids[keep], tfs[keep], norms[keep]
+                        if not len(doc_ids):
+                            return
                 for cid, sc in _clause_scores(terms[idx], tfs, norms, info):
                     out_cid.append(np.full(len(doc_ids), cid, dtype=np.int32))
                     out_doc.append(doc_ids)
