@@ -2454,6 +2454,101 @@ def func_recip_boost(spark, sf_dir):
     )
 
 
+@register("ft_payload_score", _ft_sql("""
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT doc_id, sum(((pos % 5) + 1) / 5.0) AS score
+  FROM postoks WHERE term = 'spark' GROUP BY doc_id
+)
+ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10
+""", positions=True))
+def ft_payload_score(spark, sf_dir):
+    """PayloadScoreQuery + SumPayloadFunction (queries/payloads/
+    PayloadScoreQuery.java:48): per-occurrence payload floats summed
+    into the doc score; payloads derived deterministically from
+    positions (no payload markup in testdata — the position-metadata
+    aggregation shape is the operator)."""
+    return ft(spark, sf_dir).payload_score_query("spark", k=10, func="sum")
+
+
+@register("func_currency", """
+SELECT o_orderkey, cur, round(usd, 6) AS usd FROM (
+  SELECT o_orderkey,
+         CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN 'USD'
+              WHEN 1 THEN 'EUR' ELSE 'JPY' END AS cur,
+         o_totalprice / (CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN 1.0
+              WHEN 1 THEN 0.92 ELSE 155.0 END) AS usd
+  FROM orders
+) WHERE round(usd, 6) > 400000.0
+ORDER BY round(usd, 6) DESC, o_orderkey ASC LIMIT 20
+""")
+def func_currency(spark, sf_dir):
+    """CurrencyFieldType range query (solr/core/.../schema/
+    CurrencyFieldType.java: values stored in native currency, range
+    bounds converted per exchange rate at query time): price/rate
+    normalizes to USD inside codegen; the static rate table folds to a
+    CASE expression (a broadcast dim join at real scale). Currencies
+    assigned deterministically by o_orderkey % 3."""
+    o = load(spark, sf_dir, "orders")
+    cur = (
+        F.when((F.col("o_orderkey") % 3).cast("int") == 0, "USD")
+        .when((F.col("o_orderkey") % 3).cast("int") == 1, "EUR")
+        .otherwise("JPY")
+    )
+    rate = (
+        F.when((F.col("o_orderkey") % 3).cast("int") == 0, F.lit(1.0))
+        .when((F.col("o_orderkey") % 3).cast("int") == 1, F.lit(0.92))
+        .otherwise(F.lit(155.0))
+    )
+    usd = F.round(F.col("o_totalprice") / rate, 6)
+    return (
+        o.select("o_orderkey", cur.alias("cur"), usd.alias("usd"))
+        .where(F.col("usd") > 400000.0)
+        .orderBy(F.desc("usd"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register("math_eval_suite", """
+SELECT event_id,
+       round(sqrt(abs(value)), 6) AS f_sqrt,
+       round(cbrt(abs(value) + 1.0), 6) AS f_cbrt,
+       round(ln(abs(value) + 1.0), 6) AS f_ln,
+       round(log10(abs(value) + 1.0), 6) AS f_log10,
+       round(exp(least(value / 1000.0, 1.0)), 6) AS f_exp,
+       round(sin(value / 100.0) + cos(value / 100.0), 6) AS f_trig,
+       round(atan2(value, 100.0), 6) AS f_atan2,
+       ceil(value / 7.0) AS f_ceil,
+       floor(value / 7.0) AS f_floor,
+       round(value, 1) AS f_round1,
+       CAST(floor(value) AS BIGINT) % 13 AS f_mod,
+       round(pow(abs(value) + 1.0, 0.25), 6) AS f_pow
+FROM events WHERE event_id <= 200
+""")
+def math_eval_suite(spark, sf_dir):
+    """Streaming-expression math evaluator surface (solrj/io/eval/*:
+    sqrt, cbrt, ln, log10, exp, sin/cos, atan2, ceil, floor, round,
+    mod, pow — the representative slice of the ~228-function library;
+    every entry is a 1:1 pyspark.sql.functions codegen expression, so
+    the rest of the library is mechanical)."""
+    ev = load(spark, sf_dir, "events").where(F.col("event_id") <= 200)
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        F.round(F.sqrt(F.abs(v)), 6).alias("f_sqrt"),
+        F.round(F.cbrt(F.abs(v) + 1.0), 6).alias("f_cbrt"),
+        F.round(F.log(F.abs(v) + 1.0), 6).alias("f_ln"),
+        F.round(F.log10(F.abs(v) + 1.0), 6).alias("f_log10"),
+        F.round(F.exp(F.least(v / 1000.0, F.lit(1.0))), 6).alias("f_exp"),
+        F.round(F.sin(v / 100.0) + F.cos(v / 100.0), 6).alias("f_trig"),
+        F.round(F.atan2(v, F.lit(100.0)), 6).alias("f_atan2"),
+        F.ceil(v / 7.0).alias("f_ceil"),
+        F.floor(v / 7.0).alias("f_floor"),
+        F.round(v, 1).alias("f_round1"),
+        (F.floor(v).cast("bigint") % 13).alias("f_mod"),
+        F.round(F.pow(F.abs(v) + 1.0, F.lit(0.25)), 6).alias("f_pow"),
+    )
+
+
 @register("ft_sloppy_phrase3", _ft_sql("""
 SELECT doc_id, round(score, 6) AS score FROM (
   SELECT f.doc_id,

@@ -710,6 +710,27 @@ class FulltextIndex:
         return self._score_gathered_freq(
             g.select("doc_id", w.alias("tf")), idf_sum, k)
 
+    def payload_score_query(self, term: str, k: int = 10,
+                            func: str = "sum") -> DataFrame:
+        """PayloadScoreQuery analog (queries/payloads/
+        PayloadScoreQuery.java:48 with SumPayloadFunction /
+        AveragePayloadFunction / MaxPayloadFunction,
+        includeSpanScore=false): per-OCCURRENCE payload floats
+        aggregated into the doc score. Payloads here derive
+        deterministically from the position stream ((pos%5+1)/5 — the
+        testdata carries no DelimitedPayloadTokenFilter `term|float`
+        markup), which keeps the operator shape real: position-level
+        metadata flows through the same exploded occurrence relation
+        and one hash aggregation."""
+        occ = self.toks.where(F.col("term") == term)
+        pay = (((F.col("pos") % 5) + 1).cast("double") / F.lit(5.0))
+        agg = {"sum": F.sum, "avg": F.avg, "max": F.max}[func]
+        sc = (
+            occ.select("doc_id", pay.alias("p"))
+            .groupBy("doc_id").agg(agg(F.col("p")).alias("score"))
+        )
+        return _topk(sc, k)
+
     def suggest(self, prefix: str, n: int = 10) -> DataFrame:
         """Prefix suggester (AnalyzingSuggester.java:121 analog): top-N
         dictionary terms by document frequency."""

@@ -508,10 +508,10 @@ def build_index(
     """
     from .manifest import commit_lock
 
-    store = ManifestStore(index_dir)
+    mstore = ManifestStore(index_dir)
     lock = commit_lock(index_dir)
     with lock:
-        manifest = store.load()
+        manifest = mstore.load()
         if index_sort is not None:
             if manifest.segments and manifest.index_sort != list(index_sort):
                 raise ValueError(
@@ -525,7 +525,7 @@ def build_index(
         # (indexing/scheduler.py) may have swapped segments between
         # batches, and committing a stale snapshot would clobber it
         with lock:
-            manifest = store.load()
+            manifest = mstore.load()
             if batch_id in manifest.completed_batches():
                 continue
             # allocate from the persisted high-water mark, never
@@ -535,7 +535,7 @@ def build_index(
             # range (MultiReader requires disjoint per-shard ranges)
             doc_base = max(manifest.next_doc_id, manifest.total_docs, min_doc_base)
         seg_name = f"seg_{batch_id}"
-        seg_dir = store.segment_dir(seg_name)
+        seg_dir = mstore.segment_dir(seg_name)
         counters = build_segment(
             spark, df, seg_dir, doc_base=doc_base,
             analyzer=analyzer, norms=norms, positions=positions,
@@ -543,7 +543,7 @@ def build_index(
             index_sort=effective_sort, store=store,
         )
         with lock:
-            manifest = store.load()
+            manifest = mstore.load()
             manifest.index_sort = effective_sort
             manifest.next_doc_id = max(
                 manifest.next_doc_id, doc_base + counters["doc_count"])
@@ -558,7 +558,7 @@ def build_index(
                     field_stats=counters.get("field_stats"),
                 )
             )
-            manifest = store.commit(
+            manifest = mstore.commit(
                 manifest,
                 lineage_entry={
                     "kind": "build",
@@ -569,4 +569,4 @@ def build_index(
         if fail_after_batch is not None and i + 1 >= fail_after_batch:
             raise KeyboardInterrupt(f"simulated crash after batch {batch_id}")
     with lock:
-        return store.load()
+        return mstore.load()
