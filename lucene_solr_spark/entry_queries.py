@@ -2549,6 +2549,91 @@ def math_eval_suite(spark, sf_dir):
     )
 
 
+@register("func_strdist", """
+SELECT p_partkey, p_brand,
+       round(1.0 - CAST(levenshtein(p_brand, 'Brand#33') AS DOUBLE)
+             / greatest(length(p_brand), 8), 6) AS dist
+FROM part WHERE p_partkey <= 200
+ORDER BY dist DESC, p_partkey ASC LIMIT 25
+""")
+def func_strdist(spark, sf_dir):
+    """Solr strdist() function query (ValueSourceParser 'strdist' with
+    the edit-distance impl): normalized levenshtein similarity
+    1 - dist/max(len) against a literal — JVM levenshtein, no UDF."""
+    p = load(spark, sf_dir, "part").where(F.col("p_partkey") <= 200)
+    sim = F.lit(1.0) - F.levenshtein(F.col("p_brand"), F.lit("Brand#33")).cast("double") \
+        / F.greatest(F.length("p_brand"), F.lit(8))
+    return (
+        p.select("p_partkey", "p_brand", F.round(sim, 6).alias("dist"))
+        .orderBy(F.desc("dist"), F.asc("p_partkey"))
+        .limit(25)
+    )
+
+
+@register("func_scale", """
+SELECT p_partkey, round(scaled, 6) AS scaled FROM (
+  SELECT p_partkey,
+         (p_retailprice - min(p_retailprice) OVER ())
+           / (max(p_retailprice) OVER () - min(p_retailprice) OVER ()) AS scaled
+  FROM part
+) WHERE p_partkey <= 50
+ORDER BY p_partkey ASC
+""")
+def func_scale(spark, sf_dir):
+    """Solr scale(field, 0, 1) function query (ValueSourceParser
+    'scale': min-max normalization over the whole collection) — the
+    two-pass shape Solr's ScaleFloatFunction does, Spark-first: one
+    partial+final min/max aggregate, broadcast back as a 1-row join
+    (NOT an unpartitioned window, which would drag every row through
+    one task at scale)."""
+    p = load(spark, sf_dir, "part")
+    mm = p.agg(F.min("p_retailprice").alias("lo"),
+               F.max("p_retailprice").alias("hi"))
+    scaled = (F.col("p_retailprice") - F.col("lo")) / (F.col("hi") - F.col("lo"))
+    return (
+        p.crossJoin(F.broadcast(mm))
+        .select("p_partkey", F.round(scaled, 6).alias("scaled"))
+        .where(F.col("p_partkey") <= 50)
+        .orderBy(F.asc("p_partkey"))
+    )
+
+
+@register("func_misc_tail", """
+SELECT event_id,
+       CASE WHEN value BETWEEN 0 AND 50 THEN -1.0 ELSE value END AS f_map,
+       coalesce(nullif(event_type, 'view'), 'other') AS f_def,
+       CAST(epoch_ms(ts) AS BIGINT) AS f_ms,
+       round((value - 50.0) * (value - 50.0)
+             + (CAST(user_id % 100 AS DOUBLE) - 25.0)
+               * (CAST(user_id % 100 AS DOUBLE) - 25.0), 6) AS f_sqedist,
+       CAST(xor(CAST(user_id AS BIGINT), CAST(event_id AS BIGINT)) % 1024 AS BIGINT) AS f_xor,
+       CASE WHEN props IS NOT NULL THEN 1 ELSE 0 END AS f_exists
+FROM events WHERE event_id <= 150
+""")
+def func_misc_tail(spark, sf_dir):
+    """Function-query tail (ValueSourceParser registrations not yet
+    covered elsewhere): map(v,0,50,-1) (RangeMapFloatFunction),
+    def(field,fallback) (DefFunction), ms(date) epoch millis,
+    sqedist (SquaredEuclideanFunction), xor (BoolFunction bit form),
+    exists — each a 1:1 codegen expression."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load(spark, sf_dir, "events").where(F.col("event_id") <= 150)
+    v = F.col("value")
+    uid = (F.col("user_id") % 100).cast("double")
+    return ev.select(
+        "event_id",
+        F.when(v.between(0, 50), F.lit(-1.0)).otherwise(v).alias("f_map"),
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("view")),
+                   F.lit("other")).alias("f_def"),
+        F.unix_millis(F.col("ts").cast("timestamp")).cast("bigint").alias("f_ms"),
+        F.round((v - 50.0) * (v - 50.0)
+                + (uid - 25.0) * (uid - 25.0), 6).alias("f_sqedist"),
+        (F.col("user_id").cast("bigint").bitwiseXOR(
+            F.col("event_id").cast("bigint")) % 1024).cast("bigint").alias("f_xor"),
+        F.when(F.col("props").isNotNull(), 1).otherwise(0).alias("f_exists"),
+    )
+
+
 @register("ft_sloppy_phrase3", _ft_sql("""
 SELECT doc_id, round(score, 6) AS score FROM (
   SELECT f.doc_id,
