@@ -51,8 +51,23 @@ def main() -> None:
     q_or = parse_query("class OR ident007", analyzer=analyzer)
     print("wand top-3:", searcher.search(q_or, k=3, prune=True).to_dict("records"))
 
-    # 3. deletes + tiered merge + integrity check
+    # 2b. segment-native spans, sloppy phrases and pluggable
+    #     similarities — the persisted index answers everything the
+    #     live surface answers (decode + shared scoring expressions)
+    print("seg span near:", searcher.span_near(["public", "static"], slop=2)
+          .orderBy(F.desc("score")).limit(3).collect())
+    print("seg lm dirichlet:",
+          searcher.similarity_term_query("import", "lm_dirichlet")
+          .orderBy(F.desc("score")).limit(3).collect())
+
+    # 3. deletes + tiered merge + integrity check; background merges
+    #    (ConcurrentMergeScheduler analog) overlap later batch builds
+    from lucene_solr_spark.indexing.scheduler import ConcurrentMergeScheduler
+
     deletes.delete_by_terms(spark, idx, ["ident007"])
+    sched = ConcurrentMergeScheduler(spark, idx)
+    sched.maybe_merge()   # non-blocking: merges run on pool threads
+    sched.close()
     force_merge(spark, idx, max_segments=1)
     print("check:", check_index(spark, idx)["clean"])
 

@@ -64,8 +64,23 @@ def cmd_search(args) -> dict:
     spark = _spark()
     s = Searcher(IndexReader(spark, args.index),
                  default_field=args.default_field)
-    q = parse_query(args.query, analyzer=_analyzer)
     t0 = time.time()
+    if args.sim != "bm25":
+        # pluggable Similarity over the segment index: single-term only
+        # (SimilarityBase.score plug point; float64 scoring)
+        from pyspark.sql import functions as F
+
+        sc = s.similarity_term_query(args.query, args.sim)
+        rows = (sc.orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(args.k).collect())
+        return {
+            "query": args.query, "similarity": args.sim,
+            "ms": round((time.time() - t0) * 1000, 1),
+            "hits": [{"rank": i + 1, "doc_id": int(r["doc_id"]),
+                      "score": float(r["score"])}
+                     for i, r in enumerate(rows)],
+        }
+    q = parse_query(args.query, analyzer=_analyzer)
     hits = s.search(q, k=args.k, prune=args.wand)
     return {
         "query": args.query,
@@ -92,6 +107,15 @@ def cmd_merge(args) -> dict:
     spark = _spark()
     if args.force:
         m = force_merge(spark, args.index, max_segments=args.force)
+    elif args.background:
+        # ConcurrentMergeScheduler analog: merges on pool threads; the
+        # CLI drains before exiting (a long-lived writer would keep it)
+        from .indexing.scheduler import ConcurrentMergeScheduler
+
+        sched = ConcurrentMergeScheduler(spark, args.index,
+                                         max_threads=args.background)
+        sched.maybe_merge()
+        m = sched.close()
     else:
         m = maybe_merge(spark, args.index)
     return {"segments": len(m.segments), "docs": m.total_docs}
@@ -160,6 +184,11 @@ def main(argv=None) -> int:
     p.add_argument("-k", type=int, default=10)
     p.add_argument("--wand", action="store_true")
     p.add_argument("--default-field", dest="default_field", default=None)
+    p.add_argument("--sim", default="bm25",
+                   choices=["bm25", "classic", "lm_dirichlet",
+                            "lm_jelinek_mercer", "dfr_inl2", "dfi_chi2",
+                            "ib_spl", "axiomatic_f2exp"],
+                   help="similarity family (non-bm25: single-term query)")
 
     p = sub.add_parser("count")
     p.add_argument("--index", required=True)
@@ -168,6 +197,8 @@ def main(argv=None) -> int:
     p = sub.add_parser("merge")
     p.add_argument("--index", required=True)
     p.add_argument("--force", type=int, default=0)
+    p.add_argument("--background", type=int, default=0, metavar="THREADS",
+                   help="run merges on N background threads (CMS analog)")
 
     p = sub.add_parser("delete")
     p.add_argument("--index", required=True)

@@ -26,11 +26,23 @@ CORPUS_SCHEMA = "repo string, path string, commit string, lang string, content s
 
 class IncrementalIndexer:
     def __init__(self, spark: SparkSession, index_dir: str,
-                 analyzer: str = "standard", norms: str = "byte"):
+                 analyzer: str = "standard", norms: str = "byte",
+                 background_merge: bool = False):
+        """background_merge=True: a ConcurrentMergeScheduler
+        (indexing/scheduler.py) runs the tiered policy after every
+        micro-batch on pool threads, consolidating the stream's small
+        segments WHILE later batches index — exactly Lucene's CMS
+        behind a live IndexWriter. The per-index commit lock keeps the
+        foreachBatch commits and the merge swaps serializable."""
         self.spark = spark
         self.index_dir = index_dir
         self.analyzer = analyzer
         self.norms = norms
+        self.scheduler = None
+        if background_merge:
+            from ..indexing.scheduler import ConcurrentMergeScheduler
+
+            self.scheduler = ConcurrentMergeScheduler(spark, index_dir)
 
     def _index_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from ..indexing.builder import build_index
@@ -42,6 +54,15 @@ class IncrementalIndexer:
             [(f"stream_{batch_id:08d}", batch_df)],
             analyzer=self.analyzer, norms=self.norms,
         )
+        if self.scheduler is not None:
+            self.scheduler.maybe_merge()
+
+    def close(self):
+        """Drain in-flight background merges (call after stopping the
+        stream); returns the final manifest, or None without merges."""
+        if self.scheduler is not None:
+            return self.scheduler.close()
+        return None
 
     def start(self, source_dir: str, checkpoint_dir: str,
               trigger_interval: Optional[str] = None,

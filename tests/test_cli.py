@@ -123,3 +123,35 @@ def test_cli_index_sort_and_sorted_head(spark, tmp_path, tiny_corpus_pdf, capsys
             .head(4)[["repo", "path"]].values.tolist())
     got = [[r["repo"], r["path"]] for r in out["rows"]]
     assert got == want
+
+
+def test_cli_similarity_and_background_merge(spark, tmp_path, tiny_corpus_pdf, capsys):
+    """search --sim (pluggable Similarity over the segment index) and
+    merge --background (ConcurrentMergeScheduler) in-process."""
+    from lucene_solr_spark.__main__ import main
+
+    corpus = str(tmp_path / "c.parquet")
+    tiny_corpus_pdf.to_parquet(corpus, index=False)
+    idx = str(tmp_path / "simidx")
+
+    def run(*argv):
+        assert main(list(argv)) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    half = len(tiny_corpus_pdf) // 2
+    c1 = str(tmp_path / "c1.parquet")
+    c2 = str(tmp_path / "c2.parquet")
+    tiny_corpus_pdf.iloc[:half].to_parquet(c1, index=False)
+    tiny_corpus_pdf.iloc[half:].to_parquet(c2, index=False)
+    run("index", "--corpus", c1, "--index", idx, "--batch", "b0")
+    run("index", "--corpus", c2, "--index", idx, "--batch", "b1")
+
+    hits = run("search", "--index", idx, "--query", "import",
+               "--sim", "lm_dirichlet", "-k", "5")
+    assert hits["similarity"] == "lm_dirichlet"
+    assert 0 < len(hits["hits"]) <= 5
+    assert hits["hits"][0]["score"] > 0
+
+    # background merge drains before exit; doc totals preserved
+    merged = run("merge", "--index", idx, "--background", "2")
+    assert merged["docs"] == len(tiny_corpus_pdf)
