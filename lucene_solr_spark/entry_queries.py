@@ -2966,6 +2966,93 @@ def seg_passage_highlight(spark, sf_dir):
     return s.passage_highlight(["spark", "vector"], window=16, k=10)
 
 
+@register("seg_min_should_match", None)
+def seg_min_should_match(spark, sf_dir):
+    """minimumShouldMatch=2 of 3 through the segment executor (the
+    match-counter hash agg over decoded blocks)."""
+    from .queryast import BooleanClause, BooleanQuery, Occur, TermQuery
+
+    q = BooleanQuery(clauses=tuple(
+        BooleanClause(Occur.SHOULD, TermQuery(term=t))
+        for t in ("spark", "vector", "dup")), min_should_match=2)
+    s = _seg_searcher(spark, sf_dir)
+    return _seg_topk(spark, s.search(q, k=10_000_000))
+
+
+@register("seg_bool_not", None)
+def seg_bool_not(spark, sf_dir):
+    """MUST + MUST_NOT through the segment executor."""
+    from .queryast import BooleanClause, BooleanQuery, Occur, TermQuery
+
+    q = BooleanQuery(clauses=(
+        BooleanClause(Occur.MUST, TermQuery(term="spark")),
+        BooleanClause(Occur.MUST_NOT, TermQuery(term="vector")),
+    ))
+    s = _seg_searcher(spark, sf_dir)
+    return _seg_topk(spark, s.search(q, k=10_000_000))
+
+
+@register("seg_filter_clause", None)
+def seg_filter_clause(spark, sf_dir):
+    """SHOULD + Occur.FILTER (match-without-score) through the segment
+    executor."""
+    from .queryast import BooleanClause, BooleanQuery, Occur, TermQuery
+
+    q = BooleanQuery(clauses=(
+        BooleanClause(Occur.SHOULD, TermQuery(term="spark")),
+        BooleanClause(Occur.FILTER, TermQuery(term="dup")),
+    ), min_should_match=1)  # the fq shape: FILTER restricts SCORING docs
+    s = _seg_searcher(spark, sf_dir)
+    return _seg_topk(spark, s.search(q, k=10_000_000))
+
+
+@register("seg_dismax", None)
+def seg_dismax(spark, sf_dir):
+    """DisjunctionMaxQuery (tie_breaker=0.1) through the segment
+    executor's max/sum hash agg."""
+    from .queryast import DisjunctionMaxQuery, TermQuery
+
+    q = DisjunctionMaxQuery(
+        disjuncts=(TermQuery(term="spark"), TermQuery(term="vector")),
+        tie_breaker=0.1)
+    s = _seg_searcher(spark, sf_dir)
+    return _seg_topk(spark, s.search(q, k=10_000_000))
+
+
+@register("seg_synonym", None)
+def seg_synonym(spark, sf_dir):
+    """SynonymQuery (summed tf, blended df) through the segment
+    executor's block decode."""
+    from .queryast import SynonymQuery
+
+    s = _seg_searcher(spark, sf_dir)
+    return _seg_topk(spark, s.search(SynonymQuery(terms=("merge", "join")),
+                                     k=10_000_000))
+
+
+@register("seg_term_in_set", None)
+def seg_term_in_set(spark, sf_dir):
+    """TermInSetQuery constant-score doc set through the segment
+    executor (matches the live twin's (doc_id) relation)."""
+    from .queryast import TermInSetQuery
+
+    s = _seg_searcher(spark, sf_dir)
+    pdf = s.search(TermInSetQuery(terms=("dup", "vector")), k=10_000_000)
+    return spark.createDataFrame(
+        pdf[["doc_id"]].astype({"doc_id": "int64"}), "doc_id long")
+
+
+for _seg_name2, _ft_twin2 in [
+    ("seg_min_should_match", "ft_min_should_match"),
+    ("seg_bool_not", "ft_bool_not"),
+    ("seg_filter_clause", "ft_filter_clause"),
+    ("seg_dismax", "ft_dismax"),
+    ("seg_synonym", "ft_synonym"),
+    ("seg_term_in_set", "ft_term_in_set"),
+]:
+    _REGISTRY[_seg_name2] = (_REGISTRY[_seg_name2][0], _REGISTRY[_ft_twin2][1])
+
+
 @register("seg_highlight", None)
 def seg_highlight(spark, sf_dir):
     """Snippet highlighting from STORED FIELDS in the segment index
