@@ -70,7 +70,13 @@ def cmd_search(args) -> dict:
         # (SimilarityBase.score plug point; float64 scoring)
         from pyspark.sql import functions as F
 
-        sc = s.similarity_term_query(args.query, args.sim)
+        toks = _analyzer(args.query)
+        if len(toks) != 1:
+            raise SystemExit(
+                f"--sim {args.sim} takes a single-term query; "
+                f"{args.query!r} analyzed to {toks}"
+            )
+        sc = s.similarity_term_query(toks[0], args.sim)
         rows = (sc.orderBy(F.desc("score"), F.asc("doc_id"))
                 .limit(args.k).collect())
         return {

@@ -194,26 +194,40 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
 # fully DuckDB-oracle-checkable)
 # ---------------------------------------------------------------------------
 
-def h60_seeded(col: Column, seed: int) -> Column:
-    """Seeded portable 60-bit hash: h60(seed || '|' || s) — the i-th
-    MinHash permutation. DuckDB-identical:
-    CAST('0x' || substr(md5('<seed>|' || s), 1, 15) AS BIGINT)."""
-    return h60(F.concat(F.lit(f"{seed}|"), col))
+MH_PRIME = 2038074743  # 31-bit prime — same family as Spark MLlib MinHashLSH
+
+
+def minhash_coeffs(num_hashes: int) -> list:
+    """Deterministic per-lane affine coefficients (a_i, b_i) for the
+    pairwise-independent family g_i(h) = (a_i*(h+1) + b_i) mod P —
+    derived from md5 of the lane tag so BOTH the Spark plan and the
+    DuckDB oracle can embed them as integer literals."""
+    import hashlib
+
+    def c(tag: str, i: int, lo: int, mod: int) -> int:
+        return lo + int(hashlib.md5(f"{tag}{i}".encode()).hexdigest()[:15], 16) % mod
+
+    return [(c("a", i, 1, MH_PRIME - 1), c("b", i, 0, MH_PRIME))
+            for i in range(num_hashes)]
 
 
 def minhash_signatures(df: DataFrame, num_hashes: int = 32,
                        text_col: str = "text", id_col: str = "doc_id",
                        k: int = 3) -> DataFrame:
     """(doc_id, sig array<bigint>): sig[i] = min over shingles of
-    h60_seeded(shingle, i) — the portable md5 construction (the former
-    xxhash64 was not replicable in the SQL oracle). One explode + one
+    (a_i*(h60(shingle)%P + 1) + b_i) % P — ONE md5 per shingle (the
+    round-3 construction paid 32 md5s/shingle, a 3.3x regression vs
+    xxhash64; this keeps full DuckDB-oracle portability at one md5 +
+    32 JVM-codegen'd multiply-mods). All intermediates < 2^62, so the
+    arithmetic is exact int64 on both engines. One explode + one
     groupBy(doc) with num_hashes min-aggregates (map-side combine)."""
     sh = doc_shingles(df, text_col, id_col, k)
+    hashed = sh.withColumn("h1", h60(F.col("shingle")) % F.lit(MH_PRIME) + F.lit(1))
     mins = [
-        F.min(h60_seeded(F.col("shingle"), i)).alias(f"m{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(a) * F.col("h1") + F.lit(b)) % F.lit(MH_PRIME)).alias(f"m{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
-    g = sh.groupBy("doc_id").agg(*mins)
+    g = hashed.groupBy("doc_id").agg(*mins)
     return g.select(
         "doc_id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
     )

@@ -1151,15 +1151,17 @@ def text_logit_train(spark, sf_dir):
 
 def _minhash_lsh_sql(num_hashes: int = 32, bands: int = 8, k: int = 3,
                      threshold: float = 0.5) -> str:
-    """Full DuckDB replica of minhash_lsh_pairs: shingles -> seeded-h60
-    MinHash signatures -> banded bucket join -> agreement fraction.
-    Possible because the signatures use the portable md5-h60
-    construction (dedup.h60_seeded), not an engine-private hash."""
+    """Full DuckDB replica of minhash_lsh_pairs: shingles -> one-md5
+    MinHash signatures (affine lanes mod 31-bit prime, coefficients
+    from dedup.minhash_coeffs embedded as literals) -> banded bucket
+    join -> agreement fraction. Exact int64 arithmetic on both engines."""
+    from .datapipe.dedup import MH_PRIME, minhash_coeffs
+
     rows = num_hashes // bands
     h = "CAST(('0x' || substr(md5({s}), 1, 15)) AS BIGINT)"
     mins = ",\n         ".join(
-        h.format(s=f"'{i}|' || shingle") + f" AS hm{i}"
-        for i in range(num_hashes))
+        f"({a} * h1 + {b}) % {MH_PRIME} AS hm{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes)))
     min_aggs = ",\n         ".join(
         f"min(hm{i}) AS m{i}" for i in range(num_hashes))
     band_selects = "\n  UNION ALL\n  ".join(
@@ -1178,10 +1180,14 @@ sh AS (
   SELECT DISTINCT doc_id, {shingle_expr} AS shingle
   FROM rawtoks, unnest(range(1, len(toks) - {k - 2})) AS r(i)
 ),
+h1s AS (
+  SELECT doc_id, {h.format(s="shingle")} % {MH_PRIME} + 1 AS h1
+  FROM sh
+),
 hashed AS (
   SELECT doc_id,
          {mins}
-  FROM sh
+  FROM h1s
 ),
 mh AS (
   SELECT doc_id,
@@ -1577,8 +1583,8 @@ def func_index_stats(spark, sf_dir):
 @register("ft_classic_tfidf", _ft_sql("""
 SELECT doc_id, round(score, 6) AS score FROM (
   SELECT p.doc_id,
-         sqrt(p.tf) * (1 + ln((SELECT n FROM stats) * 1.0 / (f.df + 1)))
-           * (1 + ln((SELECT n FROM stats) * 1.0 / (f.df + 1)))
+         sqrt(p.tf) * (1 + ln(((SELECT n FROM stats) + 1) * 1.0 / (f.df + 1)))
+           * (1 + ln(((SELECT n FROM stats) + 1) * 1.0 / (f.df + 1)))
            / sqrt(l.dl) AS score
   FROM post p JOIN dfs f USING (term) JOIN dl l USING (doc_id)
   WHERE p.term = 'spark'

@@ -900,7 +900,7 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
 def classic_tfidf_expr(tf: Column, dl: Column, idf: float,
                        boost: float = 1.0) -> Column:
     """ClassicSimilarity (TFIDFSimilarity.java): sqrt(tf) * idf^2 *
-    (1/sqrt(dl)); idf = 1 + ln(docCount/(df+1))."""
+    (1/sqrt(dl)); idf = 1 + ln((docCount+1)/(df+1))."""
     return (
         F.lit(boost) * F.sqrt(tf.cast("double")) * F.lit(idf * idf)
         / F.sqrt(dl.cast("double"))

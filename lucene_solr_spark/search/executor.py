@@ -214,9 +214,24 @@ class IndexReader:
         rows = (
             self.stats.where(F.col("term").isin(list(terms)))
             .groupBy("term")
-            .agg(F.max("gmax_tf").alias("mt"), F.min("gmin_norm").alias("mn"))
+            .agg(
+                F.max("gmax_tf").alias("mt"),
+                F.min("gmin_norm").alias("mn"),
+                # Mixed-generation guard: a term present in BOTH an old
+                # segment (null gmax_tf — allowMissingColumns null-fill)
+                # and a new one would get a max/min computed from the new
+                # segments only, silently UNDERESTIMATING the true bound
+                # and letting WAND prune blocks holding true top-k docs.
+                # F.max/F.min skip nulls, so compare row count vs
+                # non-null count per term and bail on any difference.
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count("gmax_tf").alias("n_mt"),
+                F.count("gmin_norm").alias("n_mn"),
+            )
             .collect()
         )
+        if any(r["n_rows"] != r["n_mt"] or r["n_rows"] != r["n_mn"] for r in rows):
+            return None  # at least one segment predates the block-max columns
         out = {r["term"]: (r["mt"], r["mn"]) for r in rows}
         if any(v[0] is None or v[1] is None for v in out.values()):
             return None  # mixed old/new segments: fall back
@@ -680,7 +695,11 @@ class Searcher:
         stats = self.reader.term_stats(sorted(set(term_keys)))
         if any(stats.get(t, (0, 0))[0] == 0 for t in term_keys):
             return None
-        idf_sum = sum(sims.idf_bm25(stats[t][0], n) for t in set(term_keys))
+        # Per SLOT, duplicates included — SpanWeight.buildSimWeight
+        # collects every enclosed TermContext, so a repeated term
+        # contributes its idf once per occurrence in the query (matches
+        # the live twin in fulltext.py span_near/sloppy_phrase_multi).
+        idf_sum = sum(sims.idf_bm25(stats[t][0], n) for t in term_keys)
         return idf_sum, sttf / n
 
     def _score_span_freq(self, freq_df, idf_sum: float, avgdl: float):

@@ -55,7 +55,8 @@ def bm25_score(tf: Column, dl: Column, *, idf: float, avgdl: float,
 def classic_score(tf: Column, dl: Column, *, idf: float,
                   boost: float = 1.0) -> Column:
     """ClassicSimilarity: sqrt(tf) * idf^2 / sqrt(dl);
-    idf = 1 + ln(docCount/(df+1)) computed by the caller."""
+    idf = 1 + ln((docCount+1)/(df+1)) computed by the caller
+    (ClassicSimilarity.idf, TFIDFSimilarity.java:72-75)."""
     return (
         F.lit(boost) * F.sqrt(tf.cast("double")) * F.lit(idf * idf)
         / F.sqrt(dl.cast("double"))
@@ -63,7 +64,9 @@ def classic_score(tf: Column, dl: Column, *, idf: float,
 
 
 def classic_idf(df: int, doc_count: int) -> float:
-    return 1.0 + math.log(doc_count / (df + 1.0)) if doc_count else 0.0
+    """1 + ln((docCount+1)/(df+1)) — ClassicSimilarity.idf
+    (TFIDFSimilarity/ClassicSimilarity.java:72-75)."""
+    return 1.0 + math.log((doc_count + 1.0) / (df + 1.0)) if doc_count else 0.0
 
 
 def collection_prob(ttf: int, total_tokens: int) -> float:
