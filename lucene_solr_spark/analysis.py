@@ -205,6 +205,12 @@ def analyze_field(text: str, analyzer: str):
     word_delimiter — camelCase/ACRONYM/letter<->digit identifier
                    splitting + simple chain (WordDelimiterGraphFilter,
                    the source-code field analyzer)
+    porter       — simple chain + Porter stem per token (PorterStemFilter
+                   over the SQL-replicable tokenizer; the oracle replays
+                   the stem as an embedded mapping join)
+    english      — EnglishAnalyzer: standard chain + possessive-'s strip
+                   + Porter stem on non-stop tokens, position gaps
+                   preserved (EnglishAnalyzer.java:110-119)
     """
     text = text or ""
     if analyzer == "standard":
@@ -224,6 +230,29 @@ def analyze_field(text: str, analyzer: str):
         )
     if analyzer == "word_delimiter":
         return _positions_of(word_delimiter_analyze(text))
+    if analyzer == "porter":
+        from .stem import porter_stem
+
+        return _positions_of(
+            [porter_stem(t) for t in simple_analyze(text, stop=False)]
+        )
+    if analyzer == "english":
+        # EnglishAnalyzer (EnglishAnalyzer.java:110-119): StandardTokenizer
+        # -> EnglishPossessiveFilter -> LowerCase -> Stop -> PorterStem.
+        # Possessive strip runs pre-lowercase in the reference; tokenize()
+        # keeps 's attached via the MidLetter rule, so strip it here and
+        # reuse the standard chain's stop/gap semantics on the result.
+        from .stem import porter_stem, strip_possessive
+
+        per: dict = {}
+        length = 0
+        for raw, pos in tokenize(text):
+            t = strip_possessive(raw).lower()
+            if not t or t in ENGLISH_STOP_WORDS:
+                continue
+            per.setdefault(porter_stem(t), []).append(pos)
+            length += 1
+        return per, length
     if analyzer == "edge_ngram":
         # EdgeNGramTokenFilter(minGram=2, maxGram=5) over simple tokens:
         # all grams of a token share its position (overlap tokens), and
@@ -286,7 +315,8 @@ def vectorized_field_tokens(contents: "pd.Series", analyzer: str,
         pos = np.zeros(len(nonempty), dtype=np.int64) if with_positions else None
         lengths = (lens > 0).astype(np.int64)
         return flat, nonempty, pos, lengths, []
-    if analyzer not in ("standard", "simple", "simple_stop", "whitespace"):
+    if analyzer not in ("standard", "simple", "simple_stop", "whitespace",
+                        "porter"):
         return (
             np.empty(0, dtype=object), np.empty(0, dtype=np.int64),
             (np.empty(0, dtype=np.int64) if with_positions else None),
@@ -336,7 +366,16 @@ def vectorized_field_tokens(contents: "pd.Series", analyzer: str,
             # simple chains: positions compacted POST-filter
             koffs = np.cumsum(lengths) - lengths
             pos = (np.arange(len(kept_doc), dtype=np.int64) - koffs[kept_doc])
-    return flat[keep], kept_doc, pos, lengths, list(np.flatnonzero(fb_mask))
+    out_terms = flat[keep]
+    if analyzer == "porter" and len(out_terms):
+        # stem the batch's DISTINCT terms, then broadcast back — the
+        # Python cost is O(|batch vocab|), not O(|token stream|)
+        from .stem import porter_stem
+
+        uniq, inv = np.unique(out_terms.astype("U"), return_inverse=True)
+        stemmed = np.array([porter_stem(u) for u in uniq], dtype=object)
+        out_terms = stemmed[inv]
+    return out_terms, kept_doc, pos, lengths, list(np.flatnonzero(fb_mask))
 
 
 # ---------------------------------------------------------------------------

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict, Optional, Tuple
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .fulltext import STOPWORDS, FulltextIndex
@@ -43,7 +44,11 @@ def queries() -> Dict[str, QueryFn]:
 
 
 def oracle_sql() -> Dict[str, str]:
-    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+    # an entry may register a zero-arg callable instead of a string when
+    # its oracle embeds data that is cheap but wrong to compute at import
+    # time (e.g. the stem map over the corpus vocabulary)
+    return {k: (v[1]() if callable(v[1]) else v[1])
+            for k, v in _REGISTRY.items() if v[1] is not None}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -2555,6 +2560,104 @@ def math_eval_suite(spark, sf_dir):
     )
 
 
+@register("math_eval_suite2", """
+SELECT event_type,
+       n, round(f_mean, 6) AS f_mean, round(f_min, 6) AS f_min,
+       round(f_max, 6) AS f_max, round(f_stddev, 6) AS f_stddev,
+       round(f_var, 6) AS f_var,
+       round(f_p25, 6) AS f_p25, round(f_p50, 6) AS f_p50,
+       round(f_p90, 6) AS f_p90,
+       round((m3 - 3*m1*m2 + 2*m1*m1*m1)
+             / pow(m2 - m1*m1, 1.5), 6) AS f_skew,
+       round(exp(f_lnavg), 6) AS f_geomean,
+       round(n / f_invsum, 6) AS f_harmmean,
+       round(f_covar, 6) AS f_covar, round(f_corr, 6) AS f_corr
+FROM (
+  SELECT event_type,
+         count(*) AS n, avg(value) AS f_mean, min(value) AS f_min,
+         max(value) AS f_max, stddev_samp(value) AS f_stddev,
+         var_samp(value) AS f_var,
+         quantile_cont(value, 0.25) AS f_p25,
+         quantile_cont(value, 0.50) AS f_p50,
+         quantile_cont(value, 0.90) AS f_p90,
+         avg(value) AS m1, avg(value*value) AS m2,
+         avg(value*value*value) AS m3,
+         avg(ln(abs(value) + 1.0)) AS f_lnavg,
+         sum(1.0 / (abs(value) + 1.0)) AS f_invsum,
+         covar_samp(value, CAST(user_id AS DOUBLE)) AS f_covar,
+         corr(value, CAST(user_id AS DOUBLE)) AS f_corr
+  FROM events GROUP BY event_type
+) ORDER BY event_type
+""")
+def math_eval_suite2(spark, sf_dir):
+    """Second tier of the streaming-expression math evaluator library
+    (solrj/io/eval): describe (DescribeEvaluator — n/mean/min/max/
+    stddev/var), percentile family (PercentileEvaluator, interpolated
+    like DuckDB quantile_cont), skewness derived from raw moments with
+    IDENTICAL arithmetic on both engines (engine-native skewness
+    functions disagree on the sample correction), geometricMean /
+    harmonicMean (Geometric/HarmonicMeanEvaluator via exp(avg(ln)) and
+    n/sum(1/x)), covariance + correlation (Covariance/CorrEvaluator).
+    One hash aggregation, all JVM built-ins — no UDFs."""
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(v).alias("f_mean"), F.min(v).alias("f_min"),
+        F.max(v).alias("f_max"), F.stddev_samp(v).alias("f_stddev"),
+        F.var_samp(v).alias("f_var"),
+        F.percentile(v, F.lit(0.25)).alias("f_p25"),
+        F.percentile(v, F.lit(0.50)).alias("f_p50"),
+        F.percentile(v, F.lit(0.90)).alias("f_p90"),
+        F.avg(v).alias("m1"), F.avg(v * v).alias("m2"),
+        F.avg(v * v * v).alias("m3"),
+        F.avg(F.log(F.abs(v) + 1.0)).alias("f_lnavg"),
+        F.sum(F.lit(1.0) / (F.abs(v) + 1.0)).alias("f_invsum"),
+        F.covar_samp(v, F.col("user_id").cast("double")).alias("f_covar"),
+        F.corr(v, F.col("user_id").cast("double")).alias("f_corr"),
+    )
+    skew = (F.col("m3") - 3 * F.col("m1") * F.col("m2")
+            + 2 * F.col("m1") * F.col("m1") * F.col("m1")) \
+        / F.pow(F.col("m2") - F.col("m1") * F.col("m1"), 1.5)
+    return g.select(
+        "event_type", "n",
+        F.round("f_mean", 6).alias("f_mean"),
+        F.round("f_min", 6).alias("f_min"),
+        F.round("f_max", 6).alias("f_max"),
+        F.round("f_stddev", 6).alias("f_stddev"),
+        F.round("f_var", 6).alias("f_var"),
+        F.round("f_p25", 6).alias("f_p25"),
+        F.round("f_p50", 6).alias("f_p50"),
+        F.round("f_p90", 6).alias("f_p90"),
+        F.round(skew, 6).alias("f_skew"),
+        F.round(F.exp("f_lnavg"), 6).alias("f_geomean"),
+        F.round(F.col("n") / F.col("f_invsum"), 6).alias("f_harmmean"),
+        F.round("f_covar", 6).alias("f_covar"),
+        F.round("f_corr", 6).alias("f_corr"),
+    ).orderBy("event_type")
+
+
+@register("math_eval_hist", """
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       round(min(value), 6) AS lo, round(max(value), 6) AS hi
+FROM (SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin, value FROM events)
+GROUP BY bin ORDER BY bin
+""")
+def math_eval_hist(spark, sf_dir):
+    """hist() evaluator (HistogramEvaluator): fixed-width binning as a
+    floor-div + one hash agg (the empirical-distribution surface)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(F.floor(F.col("value") / 25.0).cast("bigint").alias("bin"),
+                  "value")
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.min("value"), 6).alias("lo"),
+             F.round(F.max("value"), 6).alias("hi"))
+        .orderBy("bin")
+    )
+
+
 @register("func_strdist", """
 SELECT p_partkey, p_brand,
        round(1.0 - CAST(levenshtein(p_brand, 'Brand#33') AS DOUBLE)
@@ -2684,6 +2787,176 @@ def ft_suggest_infix(spark, sf_dir):
     """AnalyzingInfixSuggester analog: dictionary terms containing the
     fragment, ranked by df (weight) desc."""
     return ft(spark, sf_dir).suggest_infix("par", n=10)
+
+
+@register("seg_suggest_prefix", _ft_sql("""
+SELECT term, CAST(count(*) AS BIGINT) AS df FROM post
+WHERE term LIKE 's%' GROUP BY term
+ORDER BY df DESC, term ASC LIMIT 10
+"""))
+def seg_suggest_prefix(spark, sf_dir):
+    """Segment-resident prefix suggester: completions from the PERSISTED
+    term dictionary (term_stats) — autocomplete without the source table
+    (AnalyzingSuggester's index-resident design); same oracle as the
+    live twin."""
+    return _seg_searcher(spark, sf_dir).suggest("s", n=10)
+
+
+@register("seg_suggest_infix", _ft_sql("""
+SELECT term, CAST(df AS BIGINT) AS df FROM (
+  SELECT term, count(*) AS df FROM post GROUP BY term
+)
+WHERE term LIKE '%par%' ORDER BY df DESC, term ASC LIMIT 10
+"""))
+def seg_suggest_infix(spark, sf_dir):
+    """Segment-resident infix suggester over the persisted term
+    dictionary (AnalyzingInfixSuggester.java:106 analog)."""
+    return _seg_searcher(spark, sf_dir).suggest_infix("par", n=10)
+
+
+_STEM_SUFFIXES = ("", "s", "ing", "ed")
+
+
+def _stemmed_term_sql() -> str:
+    """Lazy oracle for ft_stemmed_term: replays the dictionary-level
+    Porter stem as an embedded VALUES join. The map is built over the
+    union of the testdata documents vocabularies x the deterministic
+    suffix set, so it is complete for any sf the driver runs; unseen
+    tokens COALESCE to themselves (both engines)."""
+    import os
+
+    from .stem import porter_stem
+
+    vocab = set()
+    try:
+        import duckdb
+
+        for sf in ("sf0.001", "sf0.01", "sf0.1"):
+            p = f"/root/testdata/{sf}/documents.parquet"
+            if not os.path.exists(p):
+                continue
+            rows = duckdb.sql(f"""
+                WITH t AS (SELECT unnest(list_filter(
+                    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '')) AS w
+                  FROM read_parquet('{p}'))
+                SELECT DISTINCT w FROM t
+            """).fetchall()
+            vocab.update(r[0] for r in rows)
+    except Exception:
+        pass
+    pairs = sorted({(w + suf, porter_stem(w + suf))
+                    for w in vocab for suf in _STEM_SUFFIXES})
+    values = ",\n    ".join(f"('{t}', '{s}')" for t, s in pairs) or "('', '')"
+    qstem = porter_stem("tables")
+    return f"""
+WITH stemmap(tok, stem) AS (VALUES
+    {values}
+),
+postoks AS (
+  SELECT d.doc_id, u.s['term'] AS tok, CAST(u.s['pos'] AS INT) AS pos
+  FROM (
+    SELECT doc_id,
+           list_transform(
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> ''),
+             (x, i) -> {{'term': x, 'pos': i}}) AS l
+    FROM documents
+  ) d, unnest(d.l) AS u(s)
+),
+variants AS (
+  SELECT doc_id,
+         tok || ['', 's', 'ing', 'ed'][(pos % 4) + 1] AS vtok
+  FROM postoks
+),
+stemmed AS (
+  SELECT v.doc_id, COALESCE(m.stem, v.vtok) AS term
+  FROM variants v LEFT JOIN stemmap m ON m.tok = v.vtok
+),
+post AS (SELECT doc_id, term, count(*) AS tf FROM stemmed GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM stemmed GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT CAST(count(*) AS DOUBLE) FROM stemmed)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+dfs AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         ln(1 + ((SELECT n FROM stats) - f.df + 0.5) / (f.df + 0.5))
+           * (p.tf * 2.2)
+           / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / (SELECT avgdl FROM stats)))
+           AS score
+  FROM post p JOIN dfs f USING (term) JOIN dl l USING (doc_id)
+  WHERE p.term = '{qstem}'
+)
+SELECT doc_id, round(score, 6) AS score FROM scored
+ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10
+"""
+
+
+@register("ft_stemmed_term", _stemmed_term_sql)
+def ft_stemmed_term(spark, sf_dir):
+    """PorterStemFilter as a DICTIONARY-level transform (EnglishAnalyzer
+    chain, PorterStemFilter.java:35 / PorterStemmer.java): derive
+    morphological variants deterministically (token + ''/s/ing/ed by
+    position — the synthetic vocab has none), Porter-stem the DISTINCT
+    variant dictionary with one Arrow-batched pandas UDF (the token
+    stream itself never touches Python: at 100 TB the stem cost is
+    O(|vocabulary|), not O(|tokens|)), broadcast the map back, then
+    BM25 a stemmed term query ('tables' -> 'tabl' matches
+    table/tables/tabling/tabled)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from .stem import porter_stem
+    from . import fulltext as ftx
+
+    docs = load(spark, sf_dir, "documents")
+    toks = ftx.tokens(docs, stop=False)
+    suf = F.array(*[F.lit(s) for s in _STEM_SUFFIXES])
+    variants = toks.select(
+        "doc_id",
+        F.concat(F.col("term"),
+                 F.element_at(suf, F.pmod(F.col("pos"), 4) + 1)).alias("vtok"),
+    )
+
+    @pandas_udf("string")
+    def stem_udf(s: pd.Series) -> pd.Series:
+        return s.map(porter_stem)
+
+    mapping = (variants.select("vtok").distinct()
+               .select(F.col("vtok").alias("tok"),
+                       stem_udf("vtok").alias("stem")))
+    stemmed = (
+        variants.join(F.broadcast(mapping), variants.vtok == mapping.tok, "left")
+        .select("doc_id", F.coalesce("stem", "vtok").alias("term"))
+    )
+    post = stemmed.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = stemmed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs, total_toks = docs.count(), stemmed.count()
+    avgdl = total_toks / n_docs
+    qstem = porter_stem("tables")
+    import math
+
+    df_q = post.where(F.col("term") == qstem).count()
+    idf = math.log(1.0 + (n_docs - df_q + 0.5) / (df_q + 0.5))
+    sc = (
+        post.where(F.col("term") == qstem)
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            (F.lit(idf) * (F.col("tf") * F.lit(2.2))
+             / (F.col("tf") + F.lit(1.2)
+                * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl)))
+             ).alias("score"),
+        )
+    )
+    return (
+        sc.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc(F.round(F.col("score"), 6)), F.asc("doc_id"))
+        .limit(10)
+    )
 
 
 @register("ft_word_delimiter", """

@@ -549,7 +549,9 @@ class Searcher:
         # would prune nothing and just pay its metadata-job waves
         distinct_terms = sorted(set(terms))
         min_df = min(stats.get(t, (0, 0))[0] for t in distinct_terms)
-        if len(distinct_terms) >= 2 and min_df <= max(1, n // 16):
+        max_df = max(stats.get(t, (0, 0))[0] for t in distinct_terms)
+        if len(distinct_terms) >= 2 and min_df <= max(1, n // 16) \
+                and max_df >= 64 * 128:
             blocks_src = self._conjunction_blocks(distinct_terms, distinct_terms)
         else:
             blocks_src = self.reader.blocks.where(F.col("term").isin(terms))
@@ -1253,7 +1255,13 @@ class Searcher:
             if len(must_terms) >= 2 and len(flat_terms) == len(q.clauses):
                 mstats = self.reader.term_stats(must_terms)
                 min_df = min(mstats.get(t, (0, 0))[0] for t in must_terms)
-                if min_df <= max(1, self.reader.doc_count // 16):
+                max_df = max(mstats.get(t, (0, 0))[0] for t in must_terms)
+                # benefit gate: pruning saves decode work on the BIG
+                # term's blocks; if that term has < ~64 blocks the whole
+                # exhaustive decode is cheaper than the prefilter's
+                # broadcast waves (128 postings/block)
+                if min_df <= max(1, self.reader.doc_count // 16) \
+                        and max_df >= 64 * 128:
                     blocks_df = self._conjunction_blocks(
                         must_terms, sorted({t for _, t, _ in flat_terms})
                     )
@@ -1331,12 +1339,13 @@ class Searcher:
             if self.precision == "float32":
                 winfo[f"{t}\x00{b}"] = {
                     "wv": float(w["wv"]), "cache": w["cache"],
-                    "avgdl32": float(w["avgdl32"]),
+                    "avgdl32": float(w["avgdl32"]), "df": w["df"],
                 }
             else:
                 winfo[f"{t}\x00{b}"] = {
                     "wv": w["idf"] * (bm25.K1 + 1.0) * w["boost"],
                     "avgdl": w["avgdl"], "idf": w["idf"], "boost": w["boost"],
+                    "df": w["df"],
                 }
         ub_wv: Dict[str, float] = {}
         for _, t, b in clause_terms:
@@ -1437,6 +1446,74 @@ class Searcher:
             out = out.unionByName(p)
         return out
 
+    def _prefetch_rare_partials(self, rare_terms: List[str], by_term: dict,
+                                winfo: dict, del_arr, k: int):
+        """Decode the rare terms' postings in one tiny job and return
+        (sorted doc ids, aligned exact clause-sum partials, theta0 =
+        k-th best partial). The per-doc sums are EXACT for the rare
+        clauses (every rare block is decoded, tombstones filtered), so
+        theta0 is a valid global pruning threshold and the per-doc
+        values are valid per-block slack inputs. Returns None when the
+        result exceeds the defensive row cap (skew guard: fall back to
+        the global-slack path rather than a fat broadcast)."""
+        from pyspark.sql import functions as F
+
+        precision = self.precision
+        norms_mode = self.reader.norms
+        info = {"by_term": by_term, "winfo": winfo}
+
+        def decode_rare(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                terms = pdf["term"].to_numpy()
+                blobs = pdf["blob"].to_numpy()
+                docs_out: List[np.ndarray] = []
+                sc_out: List[np.ndarray] = []
+                for i in range(len(pdf)):
+                    doc_ids, tfs, norms = decode_block(bytes(blobs[i]))
+                    if del_arr is not None and len(del_arr):
+                        p = np.minimum(np.searchsorted(del_arr, doc_ids),
+                                       len(del_arr) - 1)
+                        keep = del_arr[p] != doc_ids
+                        if not keep.all():
+                            doc_ids, tfs, norms = (
+                                doc_ids[keep], tfs[keep], norms[keep])
+                            if not len(doc_ids):
+                                continue
+                    tot = np.zeros(len(doc_ids), dtype=np.float64)
+                    for _cid, sc in _wand_clause_scores(
+                            terms[i], tfs, norms, info, precision, norms_mode):
+                        tot += sc
+                    docs_out.append(doc_ids)
+                    sc_out.append(tot)
+                if docs_out:
+                    yield pd.DataFrame({
+                        "doc_id": np.concatenate(docs_out),
+                        "partial": np.concatenate(sc_out),
+                    })
+
+        cap = 500_000
+        rows = (
+            self.reader.blocks.where(F.col("term").isin(rare_terms))
+            .select("term", "blob")
+            .mapInPandas(decode_rare, "doc_id long, partial double")
+            .groupBy("doc_id").agg(F.sum("partial").alias("partial"))
+            .limit(cap + 1)
+            .collect()
+        )
+        if len(rows) > cap:
+            return None
+        if not rows:
+            return np.empty(0, dtype=np.int64), np.empty(0), -np.inf
+        docs = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+        parts = np.array([r["partial"] for r in rows], dtype=np.float64)
+        o = np.argsort(docs)
+        docs, parts = docs[o], parts[o]
+        theta0 = (float(np.partition(parts, -k)[-k])
+                  if len(parts) >= k else -np.inf)
+        return docs, parts, theta0
+
     def _search_pruned_or(self, terms_with_boost: List[Tuple[str, float]],
                           k: int) -> "pd.DataFrame":
         """Rank-safe block-max top-k for a term / OR-of-terms query in
@@ -1496,6 +1573,9 @@ class Searcher:
 
         clause_terms = [(i, t, b) for i, (t, b) in enumerate(terms_with_boost)]
         winfo, ub_wv, slack = self._per_clause_params(clause_terms)
+        rare_docs = rare_partials = None
+        theta0 = -np.inf
+        rare_set: set = set()
         if len(ub_wv) > 1:
             # tighten: replace the weight-value (tf->inf) slack with a
             # global block-max slack. Preferred source: the per-term
@@ -1515,38 +1595,72 @@ class Searcher:
         by_term: Dict[str, List[Tuple[int, float]]] = {}
         for cid, t, b in clause_terms:
             by_term.setdefault(t, []).append((cid, b))
+        if len(ub_wv) > 1:
+            # Rare-term prefetch (impact-ordered refinement): with
+            # term-partitioned postings the per-partition probe theta can
+            # never exceed a high-idf rare term's score, so a common
+            # term's blocks survive slack = gmax(rare) + ... and nothing
+            # prunes on mixed-idf OR queries. Decode the rare (low-df)
+            # terms in ONE tiny job, collect their exact per-doc clause
+            # sums, and broadcast (sorted doc ids, partial sums, theta0 =
+            # k-th best partial). Common-term blocks then prune against
+            # theta0 with per-BLOCK slack = other COMMON terms' gmax +
+            # max rare partial inside the block's [min_doc, max_doc]
+            # doc range (searchsorted into the broadcast) — 0 for the
+            # vast majority of blocks, so the common term's postings
+            # are mostly skipped. Rank-safety: rare partials are exact
+            # (every rare block decoded), so theta0 lower-bounds the true
+            # k-th score, and the per-block bound dominates every doc's
+            # true total. Scale: prefetch rows are capped; the broadcast
+            # is O(sum of rare dfs) <= the cap.
+            df_of = {
+                t: winfo[f"{t}\x00{by_term[t][0][1]}"].get("df", 0)
+                for t in ub_wv
+            }
+            max_df = max(df_of.values()) if df_of else 0
+            # rare = at least 4x smaller than the biggest clause term
+            # (relative, so the optimization engages at every corpus
+            # size), bounded by an absolute postings budget so the
+            # prefetch job stays tiny at any scale
+            ranked = sorted((t for t in ub_wv if 0 < df_of[t] * 4 <= max_df),
+                            key=lambda t: df_of[t])
+            cand_rare: set = set()
+            budget = 500_000
+            for t in ranked:
+                if df_of[t] > budget:
+                    break
+                cand_rare.add(t)
+                budget -= df_of[t]
+            if cand_rare and cand_rare != set(ub_wv):
+                pre = self._prefetch_rare_partials(
+                    sorted(cand_rare), by_term, winfo, del_arr, k)
+                if pre is not None:
+                    rare_docs, rare_partials, theta0 = pre
+                    rare_set = cand_rare
+                    # common-term slack now excludes the rare terms'
+                    # global UB (replaced per block by the doc-range
+                    # max); rare terms are always decoded (tiny)
+                    common = [t for t in ub_wv if t not in rare_set]
+                    cg = {t: gmax.get(t, ub_wv[t]) for t in common}
+                    ctot = sum(cg.values())
+                    slack = dict(slack)
+                    for t in common:
+                        slack[t] = ctot - cg[t]
         precision = self.precision
         norms_mode = self.reader.norms
         margin = self.WAND_MARGIN
         spark = self.reader.spark
         bc = spark.sparkContext.broadcast(
             {"by_term": by_term, "winfo": winfo, "ub_wv": ub_wv,
-             "slack": slack, "k": k, "deletes": del_arr}
+             "slack": slack, "k": k, "deletes": del_arr,
+             "rare_set": rare_set, "rare_docs": rare_docs,
+             "rare_partials": rare_partials, "theta0": theta0}
         )
-
-        def _clause_scores(term: str, tfs: np.ndarray, norms: np.ndarray, info):
-            """Per-clause float32/float64 scores — identical arithmetic
-            to _score_terms.decode_score."""
-            out = []
-            for cid, boost in info["by_term"][term]:
-                w = info["winfo"][f"{term}\x00{boost}"]
-                if precision == "float32":
-                    if norms_mode == "byte":
-                        cache = np.asarray(w["cache"], dtype=np.float32)
-                        nv = cache[norms & 0xFF]
-                    else:
-                        nv = _norm32(norms, w["avgdl32"])
-                    freq = tfs.astype(np.float32)
-                    sc = ((np.float32(w["wv"]) * freq) / (freq + nv)).astype(
-                        np.float32).astype(np.float64)
-                else:
-                    # identical op order to _score_terms.decode_score
-                    dl = norms.astype(np.float64)
-                    freq = tfs.astype(np.float64)
-                    denom = freq + 1.2 * (1 - 0.75 + 0.75 * dl / w["avgdl"])
-                    sc = w["idf"] * (freq * (1.2 + 1)) / denom * w["boost"]
-                out.append((cid, sc))
-            return out
+        # decode-fraction instrumentation (blocks decoded vs blocks seen)
+        # for the scale-curve evidence; accumulator updates ride task
+        # completion, zero cost on the data path
+        acc_total = spark.sparkContext.accumulator(0)
+        acc_decoded = spark.sparkContext.accumulator(0)
 
         def wand_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             info = bc.value
@@ -1581,6 +1695,27 @@ class Searcher:
                 ub[m] = wv_t * max_tf[m] / (max_tf[m] + nv)
                 slack_arr[m] = info["slack"][t]
 
+            rset = info["rare_set"]
+            if rset:
+                # prefetch mode: rare-term blocks always decode (tiny);
+                # common-term slack = other COMMON gmax (already in
+                # slack_arr) + max exact rare partial within the block's
+                # doc range (searchsorted into the broadcast arrays)
+                rdocs, rparts = info["rare_docs"], info["rare_partials"]
+                min_doc = pdf["min_doc"].to_numpy(dtype=np.int64)
+                max_doc = pdf["max_doc"].to_numpy(dtype=np.int64)
+                is_rare = np.isin(terms, list(rset))
+                slack_arr[is_rare] = np.inf
+                com = np.flatnonzero(~is_rare)
+                if len(com) and len(rdocs):
+                    lo = np.searchsorted(rdocs, min_doc[com], side="left")
+                    hi = np.searchsorted(rdocs, max_doc[com], side="right")
+                    add = np.zeros(len(com), dtype=np.float64)
+                    nz = np.flatnonzero(hi > lo)
+                    for jj in nz:
+                        add[jj] = rparts[lo[jj]:hi[jj]].max()
+                    slack_arr[com] += add
+
             order = np.argsort(-ub, kind="stable")
             kk = info["k"]
             probe_target = max(4 * kk, 128)
@@ -1594,7 +1729,10 @@ class Searcher:
 
             dels = info["deletes"]
 
+            acc_total.add(len(pdf))
+
             def decode(idx: int) -> None:
+                acc_decoded.add(1)
                 doc_ids, tfs, norms = decode_block(bytes(blobs[idx]))
                 if dels is not None and len(dels):
                     # liveDocs per leaf: searchsorted probe against the
@@ -1605,7 +1743,8 @@ class Searcher:
                         doc_ids, tfs, norms = doc_ids[keep], tfs[keep], norms[keep]
                         if not len(doc_ids):
                             return
-                for cid, sc in _clause_scores(terms[idx], tfs, norms, info):
+                for cid, sc in _wand_clause_scores(
+                        terms[idx], tfs, norms, info, precision, norms_mode):
                     out_cid.append(np.full(len(doc_ids), cid, dtype=np.int32))
                     out_doc.append(doc_ids)
                     out_score.append(sc)
@@ -1613,13 +1752,13 @@ class Searcher:
             for idx in order[:n_probe]:
                 decode(idx)
 
-            theta = -np.inf
+            theta = float(info["theta0"])
             if out_doc:
                 docs_all = np.concatenate(out_doc)
                 uniq, inv = np.unique(docs_all, return_inverse=True)
                 if len(uniq) >= kk:
                     sums = np.bincount(inv, weights=np.concatenate(out_score))
-                    theta = float(np.partition(sums, -kk)[-kk])
+                    theta = max(theta, float(np.partition(sums, -kk)[-kk]))
 
             rest = order[n_probe:]
             for idx in rest[ub[rest] + slack_arr[rest] >= theta - margin]:
@@ -1634,9 +1773,12 @@ class Searcher:
                     }
                 )
 
+        wand_cols = ["term", "n", "max_tf", "min_norm", "blob"]
+        if rare_set:
+            wand_cols += ["min_doc", "max_doc"]
         cand = (
             self.reader.blocks.where(F.col("term").isin(sorted(ub_wv)))
-            .select("term", "n", "max_tf", "min_norm", "blob")
+            .select(*wand_cols)
             .mapInPandas(wand_partition, "clause_id int, doc_id long, score double")
         )
         # identical aggregation shape to _eval_boolean: per-clause
@@ -1664,6 +1806,11 @@ class Searcher:
             .limit(k)
             .collect()
         )
+        self.last_wand_stats = {
+            "blocks_total": int(acc_total.value),
+            "blocks_decoded": int(acc_decoded.value),
+            "rare_prefetch": bool(rare_set),
+        }
         return pd.DataFrame(
             {
                 "rank": range(1, len(rows) + 1),
@@ -1803,6 +1950,36 @@ class Searcher:
         q = self._expand_multiterm(rewrite(self._with_default_field(q), None))
         return self.reader.live(self._eval(rewrite(q, None), 1.0)).count()
 
+    def suggest(self, prefix: str, n: int = 10):
+        """Index-resident prefix suggester (AnalyzingSuggester.java:121
+        analog): completions come from the persisted segment TERM
+        DICTIONARY (term_stats), weight = docFreq summed across
+        segments — autocomplete works without the source table, like
+        Lucene's suggesters reading the suggest index. The startswith
+        predicate prunes parquet row groups via the sorted term
+        column's min/max stats (BlockTree seek analog)."""
+        from pyspark.sql import functions as F
+
+        return (
+            self.reader.stats.where(F.col("term").startswith(prefix))
+            .groupBy("term").agg(F.sum("df").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(n)
+        )
+
+    def suggest_infix(self, fragment: str, n: int = 10):
+        """AnalyzingInfixSuggester analog (suggest/.../analyzing/
+        AnalyzingInfixSuggester.java:106) over the segment term
+        dictionary: terms CONTAINING the fragment, by docFreq desc."""
+        from pyspark.sql import functions as F
+
+        return (
+            self.reader.stats.where(F.col("term").contains(fragment))
+            .groupBy("term").agg(F.sum("df").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(n)
+        )
+
     def _expand_multiterm(self, q: Query) -> Query:
         """Replace MultiTermQuery nodes via Spark-side dictionary scans
         (MultiTermQuery.java rewrite methods):
@@ -1873,3 +2050,31 @@ def _norm32(lengths: np.ndarray, avgdl32: float) -> np.ndarray:
     return (
         bm25.K1 * ((np.float32(1.0) - bm25.B) + (bm25.B * dl) / np.float32(avgdl32))
     ).astype(np.float32)
+
+
+def _wand_clause_scores(term: str, tfs: np.ndarray, norms: np.ndarray,
+                        info: dict, precision: str, norms_mode: str):
+    """Per-clause float32/float64 scores for a decoded block — identical
+    arithmetic to _score_terms.decode_score. Shared by the WAND
+    partition kernel and the rare-term prefetch so every path emits
+    bit-identical scores."""
+    out = []
+    for cid, boost in info["by_term"][term]:
+        w = info["winfo"][f"{term}\x00{boost}"]
+        if precision == "float32":
+            if norms_mode == "byte":
+                cache = np.asarray(w["cache"], dtype=np.float32)
+                nv = cache[norms & 0xFF]
+            else:
+                nv = _norm32(norms, w["avgdl32"])
+            freq = tfs.astype(np.float32)
+            sc = ((np.float32(w["wv"]) * freq) / (freq + nv)).astype(
+                np.float32).astype(np.float64)
+        else:
+            # identical op order to _score_terms.decode_score
+            dl = norms.astype(np.float64)
+            freq = tfs.astype(np.float64)
+            denom = freq + 1.2 * (1 - 0.75 + 0.75 * dl / w["avgdl"])
+            sc = w["idf"] * (freq * (1.2 + 1)) / denom * w["boost"]
+        out.append((cid, sc))
+    return out

@@ -94,3 +94,44 @@ def test_multiwave_same_term_multiple_boosts(searcher):
     exhaustive = searcher.search(q, k=10)
     pruned = searcher._search_pruned_or_multiwave(terms, k=10)
     _assert_same(pruned, exhaustive, "dup-boost-multiwave")
+
+
+def test_rare_prefetch_engages_and_rank_identical(searcher):
+    """Mixed-idf OR (common + rare terms): the rare-term prefetch path
+    (exact rare partials broadcast, theta0 global threshold, per-block
+    doc-range slack) must engage and stay rank-identical. 'import' is
+    the high-df common term; identNNN terms are >=4x rarer."""
+    q = BooleanQuery(clauses=(
+        BooleanClause(Occur.SHOULD, TermQuery(term="import")),
+        BooleanClause(Occur.SHOULD, TermQuery(term="ident099")),
+        BooleanClause(Occur.SHOULD, TermQuery(term="ident042")),
+    ))
+    # confirm the df split actually makes the prefetch eligible
+    stats = searcher.reader.term_stats(["import", "ident099", "ident042"])
+    assert stats["import"][0] >= 4 * stats["ident042"][0], "fixture drift"
+    exhaustive = searcher.search(q, k=10)
+    pruned = searcher.search(q, k=10, prune=True)
+    _assert_same(pruned, exhaustive, "rare-prefetch-or")
+
+
+def test_rare_prefetch_with_deletes(spark, tiny_index, tmp_path):
+    """Prefetch theta0 and partials must be computed over LIVE docs:
+    tombstone one rare term's entire doc set, then re-check rank
+    identity on a mixed-idf OR including that term (its exact partials
+    must vanish from the broadcast, not linger as stale slack)."""
+    import shutil
+
+    from lucene_solr_spark.indexing.deletes import delete_by_terms
+    from lucene_solr_spark.search.executor import IndexReader, Searcher
+
+    idx = str(tmp_path / "del_idx")
+    shutil.copytree(tiny_index, idx)
+    delete_by_terms(spark, idx, ["ident042"])
+    s = Searcher(IndexReader(spark, idx))
+    q = BooleanQuery(clauses=(
+        BooleanClause(Occur.SHOULD, TermQuery(term="import")),
+        BooleanClause(Occur.SHOULD, TermQuery(term="ident099")),
+        BooleanClause(Occur.SHOULD, TermQuery(term="ident042")),
+    ))
+    _assert_same(s.search(q, k=10, prune=True), s.search(q, k=10),
+                 "rare-prefetch-deletes")
