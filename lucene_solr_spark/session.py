@@ -5,9 +5,32 @@ from __future__ import annotations
 import os
 
 
+# glibc malloc tuning for the driver and every forked Python worker:
+# keep large numpy/Arrow buffers in the sbrk heap (high mmap threshold)
+# and never trim the heap back to the OS. Rationale: the vectorized
+# chamber/flush kernels allocate multi-hundred-MB temporaries per Arrow
+# batch; with default thresholds glibc mmap/munmaps each one, so every
+# flush re-faults fresh pages. On first-touch-expensive hosts (lazily
+# paged VMs, NUMA remote-node faults on big executors) that dominates
+# the build wall — measured 12 MB/s first-touch vs GB/s reuse on this
+# sandbox. With these settings each worker pays the fault cost once at
+# its high-water mark and reuses warm pages thereafter; on a normal
+# host the settings are benign (slightly higher RSS retention).
+_MALLOC_TUNING = {
+    "MALLOC_MMAP_THRESHOLD_": str(1 << 30),
+    "MALLOC_TRIM_THRESHOLD_": str(1 << 30),
+    "MALLOC_TOP_PAD_": str(64 << 20),
+}
+
+
 def get_spark(app_name: str = "lucene_solr_spark", master: str | None = None,
               shuffle_partitions: int | None = None):
     from pyspark.sql import SparkSession
+
+    # local mode: the executor JVM (and the python workers it forks)
+    # inherits this process's environment — set before JVM launch
+    for k, v in _MALLOC_TUNING.items():
+        os.environ.setdefault(k, v)
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
@@ -36,4 +59,7 @@ def get_spark(app_name: str = "lucene_solr_spark", master: str | None = None,
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.ui.enabled", "false")
     )
+    # cluster mode: ship the malloc tuning to executor-side workers too
+    for k, v in _MALLOC_TUNING.items():
+        builder = builder.config(f"spark.executorEnv.{k}", os.environ.get(k, v))
     return builder.getOrCreate()

@@ -36,6 +36,12 @@ cpus = {cpus}
 docs = {docs}
 spark = get_spark("lss-scaling", master=f"local[{{cpus}}]", shuffle_partitions=cpus)
 spark.sparkContext.setLogLevel("ERROR")
+# one chamber per corpus file at EVERY parallelism level: fix the split
+# size to the largest file so per-task work is identical across levels
+# (otherwise Spark sizes splits as totalBytes/defaultParallelism and the
+# low-core level gets 4x-fat chambers — measuring allocator churn and
+# straggler tails, not scaling). Session conf, NOT a read option: the
+# DataFrameReader silently ignores unknown options like maxPartitionBytes.
 idx = "/tmp/lss_scaling_{cpus}"
 shutil.rmtree(idx, ignore_errors=True)
 corpus_path = f"/tmp/lss_bench_corpus_{{docs}}_sorted"
@@ -47,15 +53,25 @@ if not os.path.exists(corpus_path):
      .write.parquet(corpus_path))
 max_file = max(os.path.getsize(os.path.join(corpus_path, f))
                for f in os.listdir(corpus_path) if f.endswith(".parquet"))
-corpus = (spark.read.option("maxPartitionBytes", str(max_file + (4 << 20)))
-          .parquet(corpus_path))
-# warmup: a small throwaway build spins up the JVM stages and python
-# workers so the measurement sees steady-state throughput (what a
-# long-running cluster job sees), not process cold-start
+spark.conf.set("spark.sql.files.maxPartitionBytes", str(max_file + (1 << 20)))
+spark.conf.set("spark.sql.files.openCostInBytes", "0")
+corpus = spark.read.parquet(corpus_path)
+print("input partitions:", corpus.rdd.getNumPartitions(), file=sys.stderr)
+# warmup: one FULL-SIZE throwaway build brings every python worker to
+# its steady-state memory high-water mark before the measured run. A
+# long-running cluster executor indexes for hours at steady state; a
+# fresh local worker instead pays first-touch page faults up to its
+# high-water mark exactly once, and on lazily-paged VM hosts that
+# one-time cost is large AND proportional to worker count — a 10k-doc
+# warmup left the 32-core level paying ~80 s of serialized fault time
+# inside the measured window that the 8-core level paid only a quarter
+# of, inverting the ratio. Full-size warmup measures the engine, not
+# the allocator cold path. (The malloc tuning in session.py keeps the
+# warmed pages resident across runs.)
 shutil.rmtree("/tmp/lss_scaling_warm", ignore_errors=True)
-build_index(spark, "/tmp/lss_scaling_warm",
-            [("warm", gen_corpus_spark(spark, 10000, partitions=cpus))],
-            analyzer="standard", norms="byte")
+build_index(spark, "/tmp/lss_scaling_warm", [("warm", corpus)],
+            analyzer="standard", norms="byte", assume_sorted=True)
+shutil.rmtree("/tmp/lss_scaling_warm", ignore_errors=True)
 t0 = time.time()
 build_index(spark, idx, [("scale", corpus)], analyzer="standard", norms="byte", assume_sorted=True)
 dt = time.time() - t0
