@@ -40,7 +40,7 @@ from typing import Iterator, List, Optional, Tuple
 import numpy as np
 import pandas as pd
 
-from ..codec import split_blocks
+from ..codec import split_blocks_batch
 from ..fields import FIELD_SEP, FieldSpec, fdl_col, normalize_fields
 from .docids import assign_doc_ids
 from . import manifest as manifest_mod
@@ -119,25 +119,18 @@ def _pack_partition(batches: Iterator[pd.DataFrame], with_positions: bool) -> It
     term_first = np.flatnonzero(is_term_head)      # run index of each term's first posting
     term_last = np.append(term_first[1:], len(run_start))
 
-    out_rows: List[dict] = []
-    for s, e in zip(term_first, term_last):
-        term = terms[run_start[s]]
-        p = None
-        if with_positions:
-            p = pos[run_start[s]: run_end[e - 1]]  # runs are contiguous rows
-        for blk in split_blocks(run_doc[s:e], run_tf[s:e], run_norm[s:e],
-                                run_norm[s:e], p):
-            out_rows.append(
-                {
-                    "term": term,
-                    **{k: blk[k] for k in ("n", "min_doc", "max_doc", "max_tf", "sum_tf", "min_norm", "blob")},
-                }
-            )
-        if len(out_rows) >= 4096:
-            yield pd.DataFrame(out_rows)
-            out_rows = []
-    if out_rows:
-        yield pd.DataFrame(out_rows)
+    res = split_blocks_batch(run_doc, run_tf, run_norm, term_first, term_last,
+                             positions=pos)
+    nblocks = len(res["n"])
+    if not nblocks:
+        return
+    term_names = terms[run_start[term_first]][res["term_idx"]]
+    cols = {"term": term_names,
+            **{k: res[k] for k in ("n", "min_doc", "max_doc", "max_tf",
+                                   "sum_tf", "min_norm", "blob")}}
+    # chunk the output so downstream Arrow batches stay bounded
+    for lo in range(0, nblocks, 65536):
+        yield pd.DataFrame({k: v[lo:lo + 65536] for k, v in cols.items()})
 
 
 def _make_invert_fn(analyzer: str, norms: str, with_positions: bool,
@@ -218,10 +211,11 @@ def _make_invert_fn(analyzer: str, norms: str, with_positions: bool,
         def flush() -> pd.DataFrame:
             """Group the buffered token arrays into per-(term, doc)
             postings and FOR-128 block rows: factorize + ONE lexsort +
-            numpy run-length encoding — the only Python loop is per
-            DISTINCT TERM (split_blocks), same as _pack_partition."""
+            numpy run-length encoding + BATCH block encoding
+            (codec.split_blocks_batch) — no per-term Python at all; the
+            whole flush is a handful of vectorized passes."""
             nonlocal vbufs, n_buffered
-            rows: List[dict] = []
+            out_df = None
             if vbufs:
                 T = np.concatenate([b[0] for b in vbufs])
                 D = np.concatenate([b[1] for b in vbufs])
@@ -243,24 +237,27 @@ def _make_invert_fn(analyzer: str, norms: str, with_positions: bool,
                 doc_change[0] = True
                 doc_change[1:] = Ds[1:] != Ds[:-1]
                 run_start = np.flatnonzero(term_change | doc_change)
-                run_end = np.append(run_start[1:], n)
-                run_tf = (run_end - run_start).astype(np.int64)
+                run_tf = (np.append(run_start[1:], n) - run_start).astype(np.int64)
                 run_doc = Ds[run_start]
                 run_nb = NBs[run_start]
                 is_head = term_change[run_start]
                 term_first = np.flatnonzero(is_head)
                 term_last = np.append(term_first[1:], len(run_start))
-                for s, e in zip(term_first, term_last):
-                    term = uniques[Ts[run_start[s]]]
-                    p = Ps[run_start[s]: run_end[e - 1]] if with_positions else None
-                    for blk in split_blocks(run_doc[s:e], run_tf[s:e],
-                                            run_nb[s:e], run_nb[s:e], p):
-                        rows.append({"kind": "blk", "term": term,
-                                     **{k: blk[k] for k in ("n", "min_doc", "max_doc",
-                                                            "max_tf", "sum_tf", "min_norm", "blob")}})
+                res = split_blocks_batch(run_doc, run_tf, run_nb,
+                                         term_first, term_last,
+                                         positions=Ps)
+                if len(res["n"]):
+                    term_names = np.asarray(uniques, dtype=object)[
+                        Ts[run_start[term_first]]][res["term_idx"]]
+                    out_df = pd.DataFrame({
+                        "kind": "blk", "term": term_names,
+                        **{k: res[k] for k in ("n", "min_doc", "max_doc",
+                                               "max_tf", "sum_tf",
+                                               "min_norm", "blob")},
+                    })
             vbufs = []
             n_buffered = 0
-            return pad(pd.DataFrame(rows)) if rows else None
+            return pad(out_df) if out_df is not None else None
 
         for pdf in batches:
             doc_ids_arr = pdf["doc_id"].to_numpy(dtype=np.int64)

@@ -27,7 +27,7 @@ from typing import Iterator, List, Optional
 import numpy as np
 import pandas as pd
 
-from ..codec import decode_block_positions, split_blocks
+from ..codec import decode_block_positions, split_blocks_batch
 from .builder import POSTINGS_SCHEMA, _pack_partition
 from .manifest import Manifest, ManifestStore, SegmentInfo, doc_meta_path, postings_path
 
@@ -288,56 +288,57 @@ def _merge_data(spark, store: ManifestStore, inputs: List[SegmentInfo],
 
 def _repack_aggregated(batches: Iterator[pd.DataFrame], with_positions: bool) -> Iterator[pd.DataFrame]:
     """Re-block already-aggregated (term, doc_id, norm, tf[, positions])
-    rows. Unlike the builder's raw-token packer, (term, doc) pairs are
-    unique here (each doc lived in exactly one input segment)."""
-    from ..codec import BLOCK_SIZE
+    rows — sorted by (term, doc_id) within the partition — via the batch
+    block encoder. Unlike the builder's raw-token packer, (term, doc)
+    pairs are unique here (each doc lived in exactly one input segment).
 
-    cur_term = None
-    docs: List[int] = []
-    tfs: List[int] = []
-    norms: List[int] = []
-    poss: List[list] = []
-    out: List[dict] = []
+    Memory is bounded: rows buffer up to ~2M and only COMPLETE terms are
+    encoded per round; the (possibly batch-straddling) final term is
+    carried into the next round so no term is ever split across encode
+    calls (tail blocks may only appear at true term end)."""
 
-    def flush(final: bool) -> None:
-        nonlocal docs, tfs, norms, poss
-        n = len(docs)
-        cut = n if final else (n // BLOCK_SIZE) * BLOCK_SIZE
-        if cut <= 0:
+    def encode(pdf: pd.DataFrame) -> Iterator[pd.DataFrame]:
+        terms = pdf["term"].to_numpy()
+        n = len(terms)
+        tc = np.empty(n, dtype=bool)
+        tc[0] = True
+        tc[1:] = terms[1:] != terms[:-1]
+        term_first = np.flatnonzero(tc)
+        term_last = np.append(term_first[1:], n)
+        P = None
+        if with_positions:
+            plists = pdf["positions"].to_numpy()
+            P = (np.concatenate([np.asarray(x, dtype=np.int64) for x in plists])
+                 if n else np.array([], dtype=np.int64))
+        res = split_blocks_batch(
+            pdf["doc_id"].to_numpy(dtype=np.int64),
+            pdf["tf"].to_numpy(dtype=np.int64),
+            pdf["norm"].to_numpy(dtype=np.int64),
+            term_first, term_last, positions=P)
+        nblocks = len(res["n"])
+        if not nblocks:
             return
-        p = None
-        if with_positions:
-            p = np.concatenate([np.asarray(x, dtype=np.int64) for x in poss[:cut]]) if cut else None
-        for blk in split_blocks(
-            np.asarray(docs[:cut], dtype=np.int64),
-            np.asarray(tfs[:cut], dtype=np.int64),
-            np.asarray(norms[:cut], dtype=np.int64),
-            np.asarray(norms[:cut], dtype=np.int64),
-            p,
-        ):
-            out.append({"term": cur_term, **{k: blk[k] for k in (
-                "n", "min_doc", "max_doc", "max_tf", "sum_tf", "min_norm", "blob")}})
-        del docs[:cut], tfs[:cut], norms[:cut]
-        if with_positions:
-            del poss[:cut]
+        cols = {"term": terms[term_first][res["term_idx"]],
+                **{k: res[k] for k in ("n", "min_doc", "max_doc", "max_tf",
+                                       "sum_tf", "min_norm", "blob")}}
+        for lo in range(0, nblocks, 65536):
+            yield pd.DataFrame({k: v[lo:lo + 65536] for k, v in cols.items()})
 
+    buf: pd.DataFrame | None = None
     for pdf in batches:
-        for term, g in pdf.groupby("term", sort=False):
-            if term != cur_term:
-                flush(final=True)
-                cur_term = term
-            docs.extend(int(x) for x in g["doc_id"])
-            tfs.extend(int(x) for x in g["tf"])
-            norms.extend(int(x) for x in g["norm"])
-            if with_positions:
-                poss.extend(g["positions"].tolist())
-            flush(final=False)
-        if out:
-            yield pd.DataFrame(out)
-            out = []
-    flush(final=True)
-    if out:
-        yield pd.DataFrame(out)
+        if not len(pdf):
+            continue
+        buf = pdf if buf is None else pd.concat([buf, pdf], ignore_index=True)
+        if len(buf) >= 2_000_000:
+            terms = buf["term"].to_numpy()
+            heads = np.flatnonzero(
+                np.concatenate(([True], terms[1:] != terms[:-1])))
+            cut = int(heads[-1])
+            if cut > 0:  # encode complete terms, carry the last one
+                yield from encode(buf.iloc[:cut])
+                buf = buf.iloc[cut:].reset_index(drop=True)
+    if buf is not None and len(buf):
+        yield from encode(buf)
 
 
 def _segment_has_positions(spark, seg_dir: str) -> bool:

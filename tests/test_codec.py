@@ -94,3 +94,83 @@ def test_split_blocks_metadata():
         total_f.extend(f)
     assert (np.array(total_d) == doc_ids).all()
     assert (np.array(total_f) == tfs).all()
+
+
+# ---------------------------------------------------------------------------
+# Batch block encoder: bit-identical to the per-term split_blocks path
+# ---------------------------------------------------------------------------
+
+def test_for_encode_batch_matches_scalar():
+    import numpy as np
+    from lucene_solr_spark.codec import for_encode, for_encode_batch
+
+    rng = np.random.default_rng(42)
+    for _ in range(20):
+        counts = rng.integers(0, 200, int(rng.integers(1, 50)))
+        vals = rng.integers(
+            0, 1 << int(rng.integers(1, 63)), int(counts.sum())
+        ).astype(np.uint64)
+        batch = for_encode_batch(vals, counts)
+        off = 0
+        for j, c in enumerate(counts):
+            assert batch[j] == for_encode(vals[off:off + c])
+            off += c
+
+
+def test_for_encode_batch_edge_widths():
+    import numpy as np
+    from lucene_solr_spark.codec import for_encode, for_encode_batch
+
+    # zeros (width 1), exact powers of two (log2 rounding traps), max u32
+    cases = [
+        np.zeros(5, dtype=np.uint64),
+        np.array([1, 2, 4, 8, 16, 1 << 31, (1 << 32) - 1], dtype=np.uint64),
+        np.array([(1 << k) for k in range(0, 40)], dtype=np.uint64),
+        np.array([(1 << k) - 1 for k in range(1, 40)], dtype=np.uint64),
+    ]
+    vals = np.concatenate(cases)
+    counts = np.array([len(c) for c in cases])
+    batch = for_encode_batch(vals, counts)
+    off = 0
+    for j, c in enumerate(counts):
+        assert batch[j] == for_encode(vals[off:off + c])
+        off += c
+
+
+def test_split_blocks_batch_bit_identical():
+    import numpy as np
+    from lucene_solr_spark.codec import split_blocks, split_blocks_batch
+
+    rng = np.random.default_rng(7)
+    for trial in range(8):
+        nterms = int(rng.integers(1, 30))
+        sizes = rng.integers(1, 400, nterms)
+        rd, rt, rn, pl = [], [], [], []
+        for ts in sizes:
+            rd.append(np.sort(rng.choice(100000, ts, replace=False)).astype(np.int64))
+            rt.append(rng.integers(1, 6, ts).astype(np.int64))
+            rn.append(rng.integers(0, 256, ts).astype(np.int64))
+            for tf in rt[-1]:
+                pl.append(np.sort(rng.choice(5000, tf, replace=False)).astype(np.int64))
+        run_doc, run_tf, run_nb = map(np.concatenate, (rd, rt, rn))
+        P = np.concatenate(pl)
+        term_last = np.cumsum(sizes)
+        term_first = np.concatenate(([0], term_last[:-1]))
+        pos_off = np.concatenate(([0], np.cumsum(run_tf)))
+        for with_pos in (False, True):
+            res = split_blocks_batch(run_doc, run_tf, run_nb, term_first,
+                                     term_last,
+                                     positions=P if with_pos else None)
+            k = 0
+            for t in range(nterms):
+                s, e = term_first[t], term_last[t]
+                p = P[pos_off[s]:pos_off[e]] if with_pos else None
+                for blk in split_blocks(run_doc[s:e], run_tf[s:e],
+                                        run_nb[s:e], run_nb[s:e], p):
+                    assert res["term_idx"][k] == t
+                    for key in ("block_ord", "n", "min_doc", "max_doc",
+                                "max_tf", "sum_tf", "min_norm"):
+                        assert res[key][k] == blk[key], key
+                    assert bytes(res["blob"][k]) == blk["blob"]
+                    k += 1
+            assert k == len(res["n"])
