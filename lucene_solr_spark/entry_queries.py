@@ -2658,6 +2658,100 @@ def math_eval_hist(spark, sf_dir):
     )
 
 
+@register("math_eval_vectors", """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(v, q.qv), 6) AS dot,
+       round(list_dot_product(v, q.qv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos,
+       round(sqrt(list_dot_product(v, v) - 2 * list_dot_product(v, q.qv)
+                  + list_dot_product(q.qv, q.qv)), 6) AS l2dist,
+       round(CAST(list_aggregate(list_transform(v, x -> abs(x)), 'sum') AS DOUBLE), 6) AS l1norm,
+       round(sqrt(list_dot_product(v, v)), 6) AS l2norm,
+       round(v[1] + q.qv[1], 6) AS ebe_add0,
+       round(v[1] * q.qv[1], 6) AS ebe_mul0,
+       round((v[1] - list_aggregate(v, 'min'))
+             / (list_aggregate(v, 'max') - list_aggregate(v, 'min')), 6) AS minmax0
+FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id BETWEEN 1 AND 200), q
+ORDER BY vec_id
+""")
+def math_eval_vectors(spark, sf_dir):
+    """Third tier of the streaming-expression math evaluator library
+    (solrj/io/eval): the vector evaluators — dotProduct, cosineSimilarity,
+    euclideanDistance (derived from dot products: ||a-b||^2 = a.a - 2a.b
+    + b.b, identical arithmetic on both engines), l1norm, l2norm,
+    ebeAdd/ebeMultiply (element-wise; first lane projected), minMaxScale.
+    All JVM higher-order functions (zip_with/transform/aggregate) inside
+    WholeStageCodegen — no UDFs, map-only, scales embarrassingly. The
+    query vector is one collected row replayed as array literals (weight
+    creation, same pattern as ann_lsh_topk's hyperplanes)."""
+    emb = load(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    q = F.array(*[F.lit(x) for x in qv])
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+    def fold_sum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    dot = fold_sum(F.zip_with(v, q, lambda a, b: a * b))
+    vv = fold_sum(F.zip_with(v, v, lambda a, b: a * b))
+    qq = fold_sum(F.zip_with(q, q, lambda a, b: a * b))
+    l1 = fold_sum(F.transform(v, lambda x: F.abs(x)))
+    vmin, vmax = F.array_min(v), F.array_max(v)
+    v0, q0 = F.element_at(v, 1), F.element_at(q, 1)
+    return (
+        emb.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= 200))
+        .select(
+            "vec_id",
+            F.round(dot, 6).alias("dot"),
+            F.round(dot / (F.sqrt(vv) * F.sqrt(qq)), 6).alias("cos"),
+            F.round(F.sqrt(vv - 2 * dot + qq), 6).alias("l2dist"),
+            F.round(l1, 6).alias("l1norm"),
+            F.round(F.sqrt(vv), 6).alias("l2norm"),
+            F.round(v0 + q0, 6).alias("ebe_add0"),
+            F.round(v0 * q0, 6).alias("ebe_mul0"),
+            F.round((v0 - vmin) / (vmax - vmin), 6).alias("minmax0"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register("math_eval_series", """
+SELECT event_id,
+       round(avg(value) OVER (ORDER BY event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS mov_avg5,
+       round(value - lag(value, 1) OVER (ORDER BY event_id), 6) AS diff1,
+       round(sum(value) OVER (ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_sum,
+       round(exp(avg(ln(abs(value) + 1.0)) OVER (ORDER BY event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)), 6) AS geo_mov10
+FROM events WHERE event_id <= 500 ORDER BY event_id
+""")
+def math_eval_series(spark, sf_dir):
+    """Streaming-expression series evaluators (solrj/io/eval):
+    movingAvg (MovingAverageEvaluator, trailing window), diff
+    (lag-1 difference), cumulative sum, and a geometric moving mean
+    (exp of windowed avg-ln). One unpartitioned 500-row window here for
+    the oracle; at scale these run PARTITION BY series-key (the Solr
+    evaluator operates per zplot/let series the same way)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").where(F.col("event_id") <= 500)
+    w = Window.orderBy("event_id")
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        F.round(F.avg(v).over(w.rowsBetween(-4, 0)), 6).alias("mov_avg5"),
+        F.round(v - F.lag(v, 1).over(w), 6).alias("diff1"),
+        F.round(F.sum(v).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+                6).alias("cum_sum"),
+        F.round(F.exp(F.avg(F.log(F.abs(v) + 1.0)).over(w.rowsBetween(-9, 0))),
+                6).alias("geo_mov10"),
+    ).orderBy("event_id")
+
+
 @register("func_strdist", """
 SELECT p_partkey, p_brand,
        round(1.0 - CAST(levenshtein(p_brand, 'Brand#33') AS DOUBLE)

@@ -88,8 +88,8 @@ def _pack_partition(batches: Iterator[pd.DataFrame], with_positions: bool) -> It
 
     Fully vectorized: the partition's Arrow batches are concatenated
     once, run boundaries come from one numpy diff pass, and the only
-    Python loop is per DISTINCT TERM (split_blocks per term), not per
-    posting. Memory = the partition's token rows (~tens of MB when
+    block encoding is batched across ALL terms (split_blocks_batch).
+    Memory = the partition's token rows (~tens of MB when
     shuffle partitions are sized to the corpus — the same invariant any
     sort-based flush has; raise spark.sql.shuffle.partitions to shrink).
     """

@@ -67,17 +67,22 @@ def main() -> None:
          .write.parquet(corpus_path))
     max_file = max(os.path.getsize(os.path.join(corpus_path, f))
                    for f in os.listdir(corpus_path) if f.endswith(".parquet"))
-    corpus = (spark.read.option("maxPartitionBytes", str(max_file + (4 << 20)))
-              .parquet(corpus_path))
+    # one chamber per corpus file: session conf, NOT a read option (the
+    # DataFrameReader silently ignores unknown options)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(max_file + (1 << 20)))
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    corpus = spark.read.parquet(corpus_path)
 
     from lucene_solr_spark.indexing.manifest import ManifestStore
     if not (args.reuse and ManifestStore(idx).load().total_docs == docs):
         shutil.rmtree(idx, ignore_errors=True)
-        # warmup (JVM + python workers) so the build wall is steady-state
-        build_index(spark, "/tmp/lss_sf1_warm",
-                    [("warm", gen_corpus_spark(spark, 10000,
-                                               partitions=args.cpus))],
-                    analyzer="standard", norms="byte")
+        # warmup (JVM + python workers) so the build wall is steady-state:
+        # one FULL-SIZE untimed build brings every worker to its
+        # flush-buffer high-water mark (first-touch page faults are paid
+        # once per worker on this lazily-paged VM; a long-running cluster
+        # executor is always past that point)
+        build_index(spark, "/tmp/lss_sf1_warm", [("warm", corpus)],
+                    analyzer="standard", norms="byte", assume_sorted=True)
         shutil.rmtree("/tmp/lss_sf1_warm", ignore_errors=True)
         t0 = time.time()
         build_index(spark, idx, [("sf1", corpus)], analyzer="standard",
