@@ -187,49 +187,60 @@ class IndexReader:
             return df
         return df.join(self.deletes, "doc_id", "left_anti")
 
+    def _term_stats_rows(self, terms: Tuple[str, ...]) -> list:
+        """ONE filtered scan + collect serving BOTH term_stats and
+        term_wand_stats for the same term set: a pruned search needs
+        both, and the second lookup must not pay a second driver job
+        (each job is a fixed scheduler+scan wave). Single-entry cache —
+        the two calls of one search arrive back to back."""
+        from pyspark.sql import functions as F
+
+        cached = getattr(self, "_stats_rows_cache", None)
+        if cached is not None and cached[0] == terms:
+            return cached[1]
+        aggs = [F.sum("df").alias("df"), F.sum("ttf").alias("ttf")]
+        if "gmax_tf" in self.stats.columns:
+            aggs += [
+                F.max("gmax_tf").alias("mt"),
+                F.min("gmin_norm").alias("mn"),
+                # Mixed-generation guard inputs: a term present in BOTH an
+                # old segment (null gmax_tf — allowMissingColumns
+                # null-fill) and a new one would get a max/min computed
+                # from the new segments only, silently UNDERESTIMATING the
+                # true bound and letting WAND prune blocks holding true
+                # top-k docs. F.max/F.min skip nulls, so row count vs
+                # non-null count per term detects the split.
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count("gmax_tf").alias("n_mt"),
+                F.count("gmin_norm").alias("n_mn"),
+            ]
+        rows = (
+            self.stats.where(F.col("term").isin(list(terms)))
+            .groupBy("term").agg(*aggs).collect()
+        )
+        self._stats_rows_cache = (terms, rows)
+        return rows
+
     def term_stats(self, terms: List[str]) -> Dict[str, Tuple[int, int]]:
         """Global (df, ttf) per term — summed across segments, collected
         to the driver (|terms| rows), broadcast into scoring UDFs."""
-        from pyspark.sql import functions as F
-
         if not terms:
             return {}
-        rows = (
-            self.stats.where(F.col("term").isin(list(terms)))
-            .groupBy("term")
-            .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
-            .collect()
-        )
-        return {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
+        rows = self._term_stats_rows(tuple(sorted(set(terms))))
+        return {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows
+                if r["term"] in set(terms)}
 
     def term_wand_stats(self, terms: List[str]) -> Optional[Dict[str, Tuple[int, int]]]:
         """Per-term GLOBAL (max_tf, min_norm) — the persisted block-max
         table inputs for WAND slack bounds (written into term_stats at
         build/merge time, so the pruned search needs no extra metadata
-        job). None for indexes built before these columns existed."""
-        from pyspark.sql import functions as F
-
+        job). None for indexes built before these columns existed.
+        Served from the same collect as term_stats (shared cache)."""
         if not terms or "gmax_tf" not in self.stats.columns:
             return None
-        rows = (
-            self.stats.where(F.col("term").isin(list(terms)))
-            .groupBy("term")
-            .agg(
-                F.max("gmax_tf").alias("mt"),
-                F.min("gmin_norm").alias("mn"),
-                # Mixed-generation guard: a term present in BOTH an old
-                # segment (null gmax_tf — allowMissingColumns null-fill)
-                # and a new one would get a max/min computed from the new
-                # segments only, silently UNDERESTIMATING the true bound
-                # and letting WAND prune blocks holding true top-k docs.
-                # F.max/F.min skip nulls, so compare row count vs
-                # non-null count per term and bail on any difference.
-                F.count(F.lit(1)).alias("n_rows"),
-                F.count("gmax_tf").alias("n_mt"),
-                F.count("gmin_norm").alias("n_mn"),
-            )
-            .collect()
-        )
+        want = set(terms)
+        rows = [r for r in self._term_stats_rows(tuple(sorted(set(terms))))
+                if r["term"] in want]
         if any(r["n_rows"] != r["n_mt"] or r["n_rows"] != r["n_mn"] for r in rows):
             return None  # at least one segment predates the block-max columns
         out = {r["term"]: (r["mt"], r["mn"]) for r in rows}
@@ -337,6 +348,7 @@ class MultiReader:
         self.manifest = _Segs()
 
     live = IndexReader.live
+    _term_stats_rows = IndexReader._term_stats_rows
     term_stats = IndexReader.term_stats
     term_wand_stats = IndexReader.term_wand_stats
     collection_stats = IndexReader.collection_stats
@@ -1322,6 +1334,10 @@ class Searcher:
     # -- block-max WAND pruning (Ding & Suel 2011; Broder et al. 2003) -------
 
     WAND_MARGIN = 1e-4  # float32 rounding slack (CheckHits tolerance scale)
+    # rare-term prefetch engages only when the common clauses carry at
+    # least this many postings (see the gate in _search_pruned); tests
+    # set it to 0 on an instance to force the path on tiny fixtures
+    WAND_PREFETCH_MIN_COMMON_POSTINGS = 2_000_000
 
     def _per_clause_params(self, clause_terms: List[Tuple[int, str, float]]):
         """Shared WAND weight bookkeeping. Returns (winfo, ub_wv, slack):
@@ -1631,6 +1647,15 @@ class Searcher:
                     break
                 cand_rare.add(t)
                 budget -= df_of[t]
+            # the prefetch costs one extra job wave (fixed scheduler +
+            # filtered-scan latency, ~0.5-1 s on a warm local session and
+            # comparable on a cluster); it repays only by SKIPPING decode
+            # of common-term blocks, so it must not engage unless the
+            # common terms carry enough postings for the skipped decode
+            # to outweigh a wave (decoding <2M postings is sub-second)
+            common_df = sum(df_of[t] for t in ub_wv if t not in cand_rare)
+            if common_df < self.WAND_PREFETCH_MIN_COMMON_POSTINGS:
+                cand_rare = set()
             if cand_rare and cand_rare != set(ub_wv):
                 pre = self._prefetch_rare_partials(
                     sorted(cand_rare), by_term, winfo, del_arr, k)

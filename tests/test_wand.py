@@ -110,7 +110,13 @@ def test_rare_prefetch_engages_and_rank_identical(searcher):
     stats = searcher.reader.term_stats(["import", "ident099", "ident042"])
     assert stats["import"][0] >= 4 * stats["ident042"][0], "fixture drift"
     exhaustive = searcher.search(q, k=10)
-    pruned = searcher.search(q, k=10, prune=True)
+    # force the prefetch path on the tiny fixture (the production gate
+    # requires >=2M common postings before spending the extra job wave)
+    searcher.WAND_PREFETCH_MIN_COMMON_POSTINGS = 0
+    try:
+        pruned = searcher.search(q, k=10, prune=True)
+    finally:
+        del searcher.WAND_PREFETCH_MIN_COMMON_POSTINGS
     _assert_same(pruned, exhaustive, "rare-prefetch-or")
 
 
@@ -128,6 +134,7 @@ def test_rare_prefetch_with_deletes(spark, tiny_index, tmp_path):
     shutil.copytree(tiny_index, idx)
     delete_by_terms(spark, idx, ["ident042"])
     s = Searcher(IndexReader(spark, idx))
+    s.WAND_PREFETCH_MIN_COMMON_POSTINGS = 0  # force the path (tiny fixture)
     q = BooleanQuery(clauses=(
         BooleanClause(Occur.SHOULD, TermQuery(term="import")),
         BooleanClause(Occur.SHOULD, TermQuery(term="ident099")),
