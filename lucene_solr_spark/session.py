@@ -56,6 +56,15 @@ def get_spark(app_name: str = "lucene_solr_spark", master: str | None = None,
             "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
         ))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # extra JVM flags hook (benchmarks set -Xms=driver.memory plus
+        # -XX:+AlwaysPreTouch: this sandbox's hypervisor serializes
+        # CONCURRENT page-population — a 32-proc anon-fault storm runs
+        # 15-25x slower than an 8-proc one — so heap growth mid-job at
+        # high task parallelism stalls every core; pre-touching at JVM
+        # start pays the fault cost once, single-threaded, on the fast
+        # path. Benign on normal hosts.)
+        .config("spark.driver.extraJavaOptions",
+                os.environ.get("SPARK_GRAFT_JAVA_OPTS", ""))
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.ui.enabled", "false")
     )
