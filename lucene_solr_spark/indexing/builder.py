@@ -48,7 +48,8 @@ from .manifest import Manifest, ManifestStore, SegmentInfo
 
 POSTINGS_SCHEMA = (
     "term string, n int, min_doc long, max_doc long, max_tf int, "
-    "sum_tf long, min_norm int, blob binary"
+    "sum_tf long, min_norm int, imp_tf array<int>, imp_norm array<int>, "
+    "blob binary"
 )
 
 # one UDF pass emits BOTH postings blocks and doc metadata (discriminated
@@ -75,6 +76,46 @@ def invert_schema(field_specs: Optional[List[FieldSpec]],
     if store:
         out += ", content string"
     return out
+
+def compute_term_stats(blocks):
+    """Per-term stats from block metadata: (df, ttf) for scoring plus
+    the WAND bound inputs — decoupled global (gmax_tf, gmin_norm) for
+    old-format compatibility AND the per-term GLOBAL competitive-impact
+    table (gimp_norm/gimp_tf, norm-ascending): for each norm value seen
+    in any block frontier, the max tf realized at-or-above it is
+    Pareto-reduced so the query-time slack bound
+    max over pairs of score(tf, norm) equals the max over ALL blocks'
+    impact bounds (CompetitiveImpactAccumulator.java:30 merged across
+    the whole term, persisted so pruned searches need no metadata job).
+    Pure metadata SQL — blob bytes never leave disk (column pruning)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    stats = blocks.groupBy("term").agg(
+        F.sum("n").alias("df"), F.sum("sum_tf").alias("ttf"),
+        F.max("max_tf").alias("gmax_tf"), F.min("min_norm").alias("gmin_norm"),
+    )
+    if "imp_tf" not in blocks.columns:
+        return stats
+    ex = blocks.select(
+        "term", F.explode(F.arrays_zip("imp_norm", "imp_tf")).alias("p")
+    ).select("term", F.col("p.imp_norm").alias("nb"), F.col("p.imp_tf").alias("tf"))
+    g = ex.groupBy("term", "nb").agg(F.max("tf").alias("tf"))
+    # Pareto reduction: keep (nb, tf) only when tf beats every pair at
+    # a smaller-or-equal norm (shorter doc) — dominated pairs can never
+    # be the max of the monotone score, so dropping them is exact
+    w = (Window.partitionBy("term").orderBy("nb")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    sky = g.withColumn("cmx", F.max("tf").over(w)).where(
+        F.col("cmx").isNull() | (F.col("tf") > F.col("cmx")))
+    gimp = (
+        sky.groupBy("term").agg(
+            F.sort_array(F.collect_list(F.struct("nb", "tf"))).alias("z"))
+        .select("term", F.col("z.nb").alias("gimp_norm"),
+                F.col("z.tf").alias("gimp_tf"))
+    )
+    return stats.join(gimp, "term", "left")
+
 
 CHUNK_BITS = 13  # 8192-doc chunks: the unit of mega-term splitting
 BLOCK = 128
@@ -127,7 +168,8 @@ def _pack_partition(batches: Iterator[pd.DataFrame], with_positions: bool) -> It
     term_names = terms[run_start[term_first]][res["term_idx"]]
     cols = {"term": term_names,
             **{k: res[k] for k in ("n", "min_doc", "max_doc", "max_tf",
-                                   "sum_tf", "min_norm", "blob")}}
+                                   "sum_tf", "min_norm", "imp_tf",
+                                   "imp_norm", "blob")}}
     # chunk the output so downstream Arrow batches stay bounded
     for lo in range(0, nblocks, 65536):
         yield pd.DataFrame({k: v[lo:lo + 65536] for k, v in cols.items()})
@@ -253,7 +295,8 @@ def _make_invert_fn(analyzer: str, norms: str, with_positions: bool,
                         "kind": "blk", "term": term_names,
                         **{k: res[k] for k in ("n", "min_doc", "max_doc",
                                                "max_tf", "sum_tf",
-                                               "min_norm", "blob")},
+                                               "min_norm", "imp_tf",
+                                               "imp_norm", "blob")},
                     })
             vbufs = []
             n_buffered = 0
@@ -412,13 +455,10 @@ def build_segment(
     # the small metadata columns back from the written postings)
     tp = time.time()
     blocks = spark.read.parquet(manifest_mod.postings_path(seg_dir))
-    # gmax_tf / gmin_norm: per-term GLOBAL block-max inputs — the WAND
-    # slack bound reads them straight from term_stats (no per-query
-    # metadata job; Ding & Suel 2011 block-max table, persisted)
-    term_stats = blocks.groupBy("term").agg(
-        F.sum("n").alias("df"), F.sum("sum_tf").alias("ttf"),
-        F.max("max_tf").alias("gmax_tf"), F.min("min_norm").alias("gmin_norm"),
-    )
+    # per-term GLOBAL block-max + impact-table inputs — the WAND slack
+    # bound reads them straight from term_stats (no per-query metadata
+    # job; Ding & Suel 2011 block-max table, persisted)
+    term_stats = compute_term_stats(blocks)
     term_stats.write.mode("overwrite").parquet(os.path.join(seg_dir, "term_stats.parquet"))
     phases["stats"] = round(time.time() - tp, 2)
 

@@ -28,7 +28,7 @@ import numpy as np
 import pandas as pd
 
 from ..codec import decode_block_positions, split_blocks_batch
-from .builder import POSTINGS_SCHEMA, _pack_partition
+from .builder import POSTINGS_SCHEMA, _pack_partition, compute_term_stats
 from .manifest import Manifest, ManifestStore, SegmentInfo, doc_meta_path, postings_path
 
 # TieredMergePolicy.java:96-101 defaults
@@ -243,10 +243,8 @@ def _merge_data(spark, store: ManifestStore, inputs: List[SegmentInfo],
     repacked.write.mode("overwrite").parquet(os.path.join(out_dir, "postings.parquet"))
 
     new_blocks = spark.read.parquet(os.path.join(out_dir, "postings.parquet"))
-    new_blocks.groupBy("term").agg(
-        F.sum("n").alias("df"), F.sum("sum_tf").alias("ttf"),
-        F.max("max_tf").alias("gmax_tf"), F.min("min_norm").alias("gmin_norm"),
-    ).write.mode("overwrite").parquet(os.path.join(out_dir, "term_stats.parquet"))
+    compute_term_stats(new_blocks).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "term_stats.parquet"))
 
     meta = spark.read.parquet(*[doc_meta_path(d) for d in in_dirs])
     if deletes is not None:
@@ -320,7 +318,8 @@ def _repack_aggregated(batches: Iterator[pd.DataFrame], with_positions: bool) ->
             return
         cols = {"term": terms[term_first][res["term_idx"]],
                 **{k: res[k] for k in ("n", "min_doc", "max_doc", "max_tf",
-                                       "sum_tf", "min_norm", "blob")}}
+                                       "sum_tf", "min_norm", "imp_tf",
+                                       "imp_norm", "blob")}}
         for lo in range(0, nblocks, 65536):
             yield pd.DataFrame({k: v[lo:lo + 65536] for k, v in cols.items()})
 
