@@ -142,3 +142,56 @@ def test_rare_prefetch_with_deletes(spark, tiny_index, tmp_path):
     ))
     _assert_same(s.search(q, k=10, prune=True), s.search(q, k=10),
                  "rare-prefetch-deletes")
+
+
+@pytest.fixture(scope="module")
+def mid_index(spark, tmp_path_factory):
+    """A 20k-doc index: big enough that block-max pruning must engage
+    (the 200-doc tiny fixture fits in a handful of blocks and decodes
+    everything by necessity)."""
+    from lucene_solr_spark.corpus import gen_corpus_spark
+    from lucene_solr_spark.indexing.builder import build_index
+
+    index_dir = str(tmp_path_factory.mktemp("idx") / "mid")
+    corpus = gen_corpus_spark(spark, 20000, partitions=4)
+    build_index(spark, index_dir, [("mid", corpus)], analyzer="standard",
+                norms="byte")
+    return index_dir
+
+
+def test_impact_columns_persisted(spark, mid_index):
+    """New-format segments carry per-block competitive impacts and the
+    per-term global impact table (CompetitiveImpactAccumulator.java:30
+    analog) in their metadata."""
+    from lucene_solr_spark.search.executor import IndexReader
+
+    r = IndexReader(spark, mid_index, norms="byte")
+    assert "imp_tf" in r.blocks.columns and "imp_norm" in r.blocks.columns
+    assert "gimp_tf" in r.stats.columns and "gimp_norm" in r.stats.columns
+    row = (r.blocks.where(r.blocks["term"] == "import")
+           .select("imp_tf", "imp_norm", "max_tf", "min_norm").first())
+    assert row["imp_tf"] is not None and len(row["imp_tf"]) >= 1
+    # frontier pairs are realized, so they are dominated by the
+    # decoupled (max_tf, min_norm) extremes
+    assert max(row["imp_tf"]) <= row["max_tf"]
+    assert min(row["imp_norm"]) >= row["min_norm"]
+    gws = r.term_wand_stats(["import"])
+    assert gws is not None and gws["import"][2] is not None
+
+
+def test_pruned_search_skips_blocks(spark, mid_index):
+    """With impact bounds the descent must actually PRUNE on a Zipf
+    corpus (the decoupled bound pruned <1% — the whole point of
+    impacts), while staying rank-identical to exhaustive."""
+    from lucene_solr_spark.search.executor import IndexReader, Searcher
+
+    s = Searcher(IndexReader(spark, mid_index, norms="byte"),
+                 precision="float32")
+    q = TermQuery(term="import")
+    exhaustive = s.search(q, k=10)
+    pruned = s.search(q, k=10, prune=True)
+    _assert_same(pruned, exhaustive, "mid:import")
+    st = s.last_wand_stats
+    assert st["blocks_total"] >= 100, "fixture drift: corpus too small"
+    frac = st["blocks_decoded"] / st["blocks_total"]
+    assert frac < 0.7, f"pruning ineffective: decoded {frac:.2%} of blocks"
