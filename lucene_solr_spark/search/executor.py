@@ -1559,20 +1559,24 @@ class Searcher:
                     })
 
         cap = 500_000
-        rows = (
+        # Arrow collect: at engaged scale this is O(100k) rows, and
+        # driver-side Row materialization was measurably the or-WAND
+        # bottleneck (~1 s at 200k rare postings); toPandas rides the
+        # same Arrow batches the executors already produce
+        pdf_rows = (
             self.reader.blocks.where(F.col("term").isin(rare_terms))
             .select("term", "blob")
             .mapInPandas(decode_rare, "doc_id long, partial double")
             .groupBy("doc_id").agg(F.sum("partial").alias("partial"))
             .limit(cap + 1)
-            .collect()
+            .toPandas()
         )
-        if len(rows) > cap:
+        if len(pdf_rows) > cap:
             return None
-        if not rows:
+        if not len(pdf_rows):
             return np.empty(0, dtype=np.int64), np.empty(0), -np.inf
-        docs = np.array([r["doc_id"] for r in rows], dtype=np.int64)
-        parts = np.array([r["partial"] for r in rows], dtype=np.float64)
+        docs = pdf_rows["doc_id"].to_numpy(dtype=np.int64)
+        parts = pdf_rows["partial"].to_numpy(dtype=np.float64)
         o = np.argsort(docs)
         docs, parts = docs[o], parts[o]
         theta0 = (float(np.partition(parts, -k)[-k])
@@ -1724,11 +1728,15 @@ class Searcher:
         norms_mode = self.reader.norms
         margin = self.WAND_MARGIN
         spark = self.reader.spark
+        rare_cids = np.array(
+            sorted(cid for t in rare_set for cid, _ in by_term[t]),
+            dtype=np.int32)
         bc = spark.sparkContext.broadcast(
             {"by_term": by_term, "winfo": winfo, "ub_wv": ub_wv,
              "slack": slack, "k": k, "deletes": del_arr,
              "rare_set": rare_set, "rare_docs": rare_docs,
-             "rare_partials": rare_partials, "theta0": theta0}
+             "rare_partials": rare_partials, "theta0": theta0,
+             "rare_cids": rare_cids}
         )
         # decode-fraction instrumentation (blocks decoded vs blocks seen)
         # for the scale-curve evidence; accumulator updates ride task
@@ -1877,20 +1885,41 @@ class Searcher:
                 and len(next(iter(info["by_term"].values()))) == 1
             )
 
+            rare_cids = info.get("rare_cids")
+            has_rare = rare_cids is not None and len(rare_cids) > 0
+
             def refresh_theta() -> float:
                 # k-th best per-doc PARTIAL sum decoded so far; single
                 # clause: each doc appears in exactly one block, so the
-                # scores array IS the per-doc sums (no unique/bincount)
+                # scores array IS the per-doc sums (no unique/bincount).
+                # With a rare prefetch, locally-decoded rare rows are
+                # EXCLUDED and replaced by the broadcast exact global
+                # rare partials (same clause sums, computed once on the
+                # driver) — folding the co-occurrence mass into theta
+                # without double counting; pure-rare docs are already
+                # covered by theta0 (the k-th best exact rare partial).
                 if not out_doc:
                     return theta
                 if single_clause:
                     sums = np.concatenate(out_score)
                 else:
                     docs_all = np.concatenate(out_doc)
+                    sc_all = np.concatenate(out_score)
+                    if has_rare:
+                        cid_all = np.concatenate(out_cid)
+                        common = ~np.isin(cid_all, rare_cids)
+                        docs_all, sc_all = docs_all[common], sc_all[common]
+                        if not len(docs_all):
+                            return theta
                     uniq, inv = np.unique(docs_all, return_inverse=True)
-                    if len(uniq) < kk:
-                        return theta
-                    sums = np.bincount(inv, weights=np.concatenate(out_score))
+                    sums = np.bincount(inv, weights=sc_all)
+                    if has_rare and len(info["rare_docs"]):
+                        rdocs = info["rare_docs"]
+                        p = np.minimum(np.searchsorted(rdocs, uniq),
+                                       len(rdocs) - 1)
+                        hit = rdocs[p] == uniq
+                        sums = sums + np.where(
+                            hit, info["rare_partials"][p], 0.0)
                 if len(sums) < kk:
                     return theta
                 return max(theta, float(np.partition(sums, -kk)[-kk]))
