@@ -3812,3 +3812,60 @@ def _ft_term_dfs(idx, terms):
     from .fulltext import term_dfs
 
     return term_dfs(idx.post, terms)
+
+
+@register("func_ord_linear", """
+WITH dim AS (
+  SELECT event_type, CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS ord,
+         CAST(count(*) OVER () AS BIGINT) AS n_ord
+  FROM (SELECT DISTINCT event_type FROM events)
+)
+SELECT e.event_id,
+       d.ord AS f_ord,
+       d.n_ord + 1 - d.ord AS f_rord,
+       round(2.5 * e.value + 7.0, 6) AS f_linear,
+       round(abs(e.value - 50.0) + abs(CAST(e.user_id % 100 AS DOUBLE) - 25.0), 6) AS f_dist1,
+       round(greatest(abs(e.value - 50.0), abs(CAST(e.user_id % 100 AS DOUBLE) - 25.0)), 6) AS f_distinf,
+       concat(e.event_type, ':', CAST(e.user_id % 7 AS VARCHAR)) AS f_concat,
+       CASE WHEN e.value > 50.0 AND e.user_id % 2 = 0 THEN round(e.value, 6) ELSE 0.0 END AS f_if
+FROM events e JOIN dim d USING (event_type)
+WHERE e.event_id <= 150
+ORDER BY e.event_id
+""")
+def func_ord_linear(spark, sf_dir):
+    """Remaining ValueSourceParser families (ValueSourceParser.java:82
+    registrations): ord/rord (OrdFieldSource/ReverseOrdFieldSource —
+    the term's ordinal in the sorted field dictionary; here the
+    dictionary is a broadcast dim built from DISTINCT values, the exact
+    analog of the FieldCache ords, scale-safe because dictionary
+    cardinality << row count), linear(x,a,b) (LinearFloatFunction),
+    dist(1,...)/dist(Infinity,...) (VectorDistanceFunction Manhattan /
+    Chebyshev), concat (ConcatStringFunction), and the boolean
+    composition if(and(gt(...),...)) (IfFunction/BoolFunction family).
+    All JVM codegen expressions; the ord dim is a broadcast join."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").where(F.col("event_id") <= 150)
+    dim = (load(spark, sf_dir, "events").select("event_type").distinct()
+           .withColumn("ord", F.row_number().over(
+               Window.orderBy("event_type")).cast("bigint")))
+    n_ord = dim.count()
+    v = F.col("value")
+    uid = (F.col("user_id") % 100).cast("double")
+    return (
+        ev.join(F.broadcast(dim), "event_type")
+        .select(
+            "event_id",
+            F.col("ord").alias("f_ord"),
+            (F.lit(n_ord) + 1 - F.col("ord")).cast("bigint").alias("f_rord"),
+            F.round(2.5 * v + 7.0, 6).alias("f_linear"),
+            F.round(F.abs(v - 50.0) + F.abs(uid - 25.0), 6).alias("f_dist1"),
+            F.round(F.greatest(F.abs(v - 50.0), F.abs(uid - 25.0)), 6)
+             .alias("f_distinf"),
+            F.concat(F.col("event_type"), F.lit(":"),
+                     (F.col("user_id") % 7).cast("string")).alias("f_concat"),
+            F.when((v > 50.0) & (F.col("user_id") % 2 == 0),
+                   F.round(v, 6)).otherwise(F.lit(0.0)).alias("f_if"),
+        )
+        .orderBy("event_id")
+    )

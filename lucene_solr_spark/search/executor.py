@@ -1558,7 +1558,7 @@ class Searcher:
                         "partial": np.concatenate(sc_out),
                     })
 
-        cap = 500_000
+        cap = 2_000_000  # broadcast guard: same order as the tombstone cap
         # Arrow collect: at engaged scale this is O(100k) rows, and
         # driver-side Row materialization was measurably the or-WAND
         # bottleneck (~1 s at 200k rare postings); toPandas rides the
@@ -1694,7 +1694,7 @@ class Searcher:
             ranked = sorted((t for t in ub_wv if 0 < df_of[t] * 2 <= max_df),
                             key=lambda t: df_of[t])
             cand_rare: set = set()
-            budget = 500_000
+            budget = 2_000_000  # keeps the partials broadcast ~32 MB max
             for t in ranked:
                 if df_of[t] > budget:
                     break
