@@ -1371,6 +1371,112 @@ class Searcher:
     # least this many postings (see the gate in _search_pruned); tests
     # set it to 0 on an instance to force the path on tiny fixtures
     WAND_PREFETCH_MIN_COMMON_POSTINGS = 512_000
+    # doc-range-aligned block-max slack engages only when the common
+    # clauses carry at least this many postings (the extra metadata job
+    # wave must repay itself in skipped decode work); tests set it to 0
+    # on an instance to force the path on tiny fixtures
+    WAND_ALIGNED_MIN_COMMON_POSTINGS = 512_000
+    WAND_ALIGNED_BUCKETS = 8192      # doc-space granularity of the table
+    WAND_ALIGNED_SPAN_CAP = 256      # blocks spanning more buckets than
+    #                                  this become a global-floor row
+    #                                  (bounds the explode fan-out)
+
+    def _aligned_bucket_ubs(self, terms: List[str], by_term: dict,
+                            winfo: dict, ub_wv: dict):
+        """Per-term per-doc-range-bucket max block UB: the block-max
+        table of true Block-Max WAND (Ding & Suel 2011 §4; Lucene's
+        ImpactsEnum.advanceShallow exposes the same per-doc-range
+        impact bounds), doc-range aligned so two common terms prune
+        each other wherever their high-impact doc ranges don't
+        coincide.
+
+        ONE metadata-only job: scan the query terms' block metadata
+        (Catalyst prunes the postings blob from the parquet scan),
+        compute each block's exact impact UB with the SAME kernel the
+        WAND partition uses (_block_ubs), explode each block into the
+        doc-space buckets its [min_doc, max_doc] range overlaps, and
+        hash-aggregate max(ub) per (term, bucket). The collected table
+        is <= |terms| x WAND_ALIGNED_BUCKETS rows REGARDLESS of corpus
+        size (blocks spanning > WAND_ALIGNED_SPAN_CAP buckets fold into
+        a per-term global floor instead of exploding), so the driver
+        side stays O(terms x 8k) at any scale.
+
+        Returns (bucket_width, {term: np.ndarray[n_buckets]}) or None
+        when the index exposes no doc-space extent."""
+        from pyspark.sql import functions as F
+
+        doc_top = max((s.doc_base + s.doc_count
+                       for s in self.reader.manifest.segments), default=0)
+        if doc_top <= 0:
+            return None
+        nbk = self.WAND_ALIGNED_BUCKETS
+        width = max(1, -(-doc_top // nbk))
+        span_cap = self.WAND_ALIGNED_SPAN_CAP
+        precision = self.precision
+        norms_mode = self.reader.norms
+        info = {"by_term": by_term, "winfo": winfo, "ub_wv": ub_wv}
+
+        meta_cols = ["term", "max_tf", "min_norm", "min_doc", "max_doc"]
+        has_imp = "imp_tf" in self.reader.blocks.columns
+        if has_imp:
+            meta_cols += ["imp_tf", "imp_norm"]
+
+        def bucket_ubs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                t_arr = pdf["term"].to_numpy()
+                ub = _block_ubs(
+                    t_arr,
+                    pdf["max_tf"].to_numpy(dtype=np.float64),
+                    pdf["min_norm"].to_numpy(dtype=np.int64),
+                    pdf["imp_tf"].to_numpy() if has_imp else None,
+                    pdf["imp_norm"].to_numpy() if has_imp else None,
+                    info, precision, norms_mode)
+                lo = pdf["min_doc"].to_numpy(dtype=np.int64) // width
+                hi = pdf["max_doc"].to_numpy(dtype=np.int64) // width
+                span = hi - lo + 1
+                wide = span > span_cap
+                parts = []
+                if wide.any():
+                    parts.append(pd.DataFrame({
+                        "term": t_arr[wide], "bucket": -1, "ub": ub[wide]}))
+                nr = np.flatnonzero(~wide)
+                if len(nr):
+                    reps = span[nr]
+                    starts = np.repeat(lo[nr], reps)
+                    # per-row ramp 0..span-1 without a Python loop
+                    ramp = np.arange(reps.sum(), dtype=np.int64) - np.repeat(
+                        np.concatenate(([0], np.cumsum(reps)[:-1])), reps)
+                    parts.append(pd.DataFrame({
+                        "term": np.repeat(t_arr[nr], reps),
+                        "bucket": starts + ramp,
+                        "ub": np.repeat(ub[nr], reps)}))
+                if parts:
+                    yield (pd.concat(parts, ignore_index=True)
+                           if len(parts) > 1 else parts[0])
+
+        rows = (
+            self.reader.blocks.where(F.col("term").isin(sorted(terms)))
+            .select(*meta_cols)
+            .mapInPandas(bucket_ubs, "term string, bucket long, ub double")
+            .groupBy("term", "bucket").agg(F.max("ub").alias("ub"))
+            .toPandas()
+        )
+        out: Dict[str, np.ndarray] = {}
+        for t in terms:
+            out[t] = np.zeros(nbk, dtype=np.float64)
+        for t, grp in rows.groupby("term"):
+            b = grp["bucket"].to_numpy(dtype=np.int64)
+            u = grp["ub"].to_numpy(dtype=np.float64)
+            g = b < 0
+            if g.any():
+                out[t][:] = float(u[g].max())
+            fine = ~g
+            if fine.any():
+                bi = np.clip(b[fine], 0, nbk - 1)
+                np.maximum.at(out[t], bi, u[fine])
+        return width, out
 
     def _per_clause_params(self, clause_terms: List[Tuple[int, str, float]]):
         """Shared WAND weight bookkeeping. Returns (winfo, ub_wv, slack):
@@ -1724,6 +1830,23 @@ class Searcher:
                     slack = dict(slack)
                     for t in common:
                         slack[t] = ctot - cg[t]
+        aligned_width = 0
+        aligned_tbl = None
+        if len(ub_wv) > 1:
+            # doc-range-aligned slack for the COMMON terms: two similar-
+            # weight common terms barely prune each other under a global
+            # other-term bound (every block's key clears theta), but
+            # their high-impact doc ranges rarely coincide — the aligned
+            # bucket table turns that misalignment into pruning. One
+            # extra metadata-only wave, gated like the rare prefetch.
+            common_terms = sorted(t for t in ub_wv if t not in rare_set)
+            common_post = sum(df_of.get(t, 0) for t in common_terms)
+            if (len(common_terms) > 1
+                    and common_post >= self.WAND_ALIGNED_MIN_COMMON_POSTINGS):
+                al = self._aligned_bucket_ubs(
+                    common_terms, by_term, winfo, ub_wv)
+                if al is not None:
+                    aligned_width, aligned_tbl = al
         precision = self.precision
         norms_mode = self.reader.norms
         margin = self.WAND_MARGIN
@@ -1736,7 +1859,8 @@ class Searcher:
              "slack": slack, "k": k, "deletes": del_arr,
              "rare_set": rare_set, "rare_docs": rare_docs,
              "rare_partials": rare_partials, "theta0": theta0,
-             "rare_cids": rare_cids}
+             "rare_cids": rare_cids,
+             "aligned": aligned_tbl, "aligned_width": aligned_width}
         )
         # decode-fraction instrumentation (blocks decoded vs blocks seen)
         # for the scale-curve evidence; accumulator updates ride task
@@ -1760,62 +1884,39 @@ class Searcher:
             imp_nb_col = (pdf["imp_norm"].to_numpy()
                           if "imp_norm" in pdf.columns else None)
 
-            # vectorized per-block UBs + slack, grouped by term.
-            # UB source, per block: the competitive impact frontier
-            # (max over REALIZED (tf, norm) pairs — exact block bound,
-            # CompetitiveImpactAccumulator.java:30) when present;
-            # decoupled (max_tf, min_norm) for old-format blocks (valid,
-            # but pairs a tf and a norm no document realizes — measured
-            # <1% prunable vs 94-99% with impacts on the bench corpus).
-            ub = np.empty(len(pdf), dtype=np.float64)
+            # per-block UBs (impact frontier when present) + slack
+            ub = _block_ubs(terms, max_tf, min_norm, imp_tf_col,
+                            imp_nb_col, info, precision, norms_mode)
             slack_arr = np.empty(len(pdf), dtype=np.float64)
             for t in pd.unique(terms):
-                m = terms == t
-                wv_t = info["ub_wv"][t]
-                w = info["winfo"][
-                    f"{t}\x00{info['by_term'][t][0][1]}"]
-                if norms_mode == "byte":
-                    if precision == "float32":
-                        cache = np.asarray(w["cache"], dtype=np.float64)
-                        nv = cache[min_norm[m] & 0xFF]
-                    else:
-                        nv = 1.2 * (0.25 + 0.75 * LENGTH_TABLE[
-                            min_norm[m] & 0xFF].astype(np.float64) / w["avgdl"])
-                else:
-                    avgdl = w["avgdl32"] if precision == "float32" else w["avgdl"]
-                    nv = 1.2 * (0.25 + 0.75 * min_norm[m].astype(np.float64) / avgdl)
-                ub[m] = wv_t * max_tf[m] / (max_tf[m] + nv)
-                slack_arr[m] = info["slack"][t]
-                if imp_tf_col is None:
-                    continue
-                idx = np.flatnonzero(m)
-                lists_tf = imp_tf_col[idx]
-                lists_nb = imp_nb_col[idx]
-                good = np.fromiter(
-                    (x is not None and not isinstance(x, float) and len(x) > 0
-                     for x in lists_tf),
-                    dtype=bool, count=len(idx))
-                gi = np.flatnonzero(good)
-                if not len(gi):
-                    continue
-                lens = np.fromiter((len(lists_tf[j]) for j in gi),
-                                   dtype=np.int64, count=len(gi))
-                ftf = np.concatenate(
-                    [np.asarray(lists_tf[j], dtype=np.float64) for j in gi])
-                fnb = np.concatenate(
-                    [np.asarray(lists_nb[j], dtype=np.int64) for j in gi])
-                if norms_mode == "byte":
-                    if precision == "float32":
-                        fnv = cache[fnb & 0xFF]
-                    else:
-                        fnv = 1.2 * (0.25 + 0.75 * LENGTH_TABLE[
-                            fnb & 0xFF].astype(np.float64) / w["avgdl"])
-                else:
-                    fnv = 1.2 * (0.25 + 0.75 * fnb.astype(np.float64) / avgdl)
-                pair_sc = wv_t * ftf / (ftf + fnv)
-                offs = np.zeros(len(gi), dtype=np.int64)
-                np.cumsum(lens[:-1], out=offs[1:])
-                ub[idx[gi]] = np.maximum.reduceat(pair_sc, offs)
+                slack_arr[terms == t] = info["slack"][t]
+
+            aligned = info.get("aligned")
+            if aligned:
+                # doc-range-ALIGNED slack (true Block-Max WAND bound,
+                # Ding & Suel 2011 §4): for a block of term t spanning
+                # docs [lo, hi], what the OTHER common terms can add to
+                # any doc in it is bounded by the max UB of THEIR blocks
+                # overlapping [lo, hi] — looked up in the broadcast
+                # per-term bucket tables (driver metadata job) via a
+                # sparse-table range max. Far tighter than the global
+                # other-term gmax when terms' high-impact doc ranges
+                # don't coincide (the common case).
+                width = info["aligned_width"]
+                min_doc_a = pdf["min_doc"].to_numpy(dtype=np.int64)
+                max_doc_a = pdf["max_doc"].to_numpy(dtype=np.int64)
+                nbk = len(next(iter(aligned.values())))
+                lo_b = np.clip(min_doc_a // width, 0, nbk - 1)
+                hi_b = np.clip(max_doc_a // width, 0, nbk - 1)
+                M = {}
+                allsum = np.zeros(len(pdf), dtype=np.float64)
+                for u, arr in aligned.items():
+                    M[u] = _range_max(_sparse_table(arr), lo_b, hi_b)
+                    allsum += M[u]
+                for t in M:
+                    m = terms == t
+                    if m.any():
+                        slack_arr[m] = allsum[m] - M[t][m]
 
             rset = info["rare_set"]
             if rset:
@@ -1954,7 +2055,7 @@ class Searcher:
         wand_cols = ["term", "n", "max_tf", "min_norm", "blob"]
         if "imp_tf" in self.reader.blocks.columns:
             wand_cols += ["imp_tf", "imp_norm"]
-        if rare_set:
+        if rare_set or aligned_tbl:
             wand_cols += ["min_doc", "max_doc"]
         cand = (
             self.reader.blocks.where(F.col("term").isin(sorted(ub_wv)))
@@ -1990,6 +2091,7 @@ class Searcher:
             "blocks_total": int(acc_total.value),
             "blocks_decoded": int(acc_decoded.value),
             "rare_prefetch": bool(rare_set),
+            "aligned_slack": aligned_tbl is not None,
         }
         return pd.DataFrame(
             {
@@ -2230,6 +2332,96 @@ def _norm32(lengths: np.ndarray, avgdl32: float) -> np.ndarray:
     return (
         bm25.K1 * ((np.float32(1.0) - bm25.B) + (bm25.B * dl) / np.float32(avgdl32))
     ).astype(np.float32)
+
+
+def _block_ubs(terms: np.ndarray, max_tf: np.ndarray, min_norm: np.ndarray,
+               imp_tf_col, imp_nb_col, info: dict, precision: str,
+               norms_mode: str) -> np.ndarray:
+    """Vectorized per-block upper-bound scores, grouped by term.
+
+    UB source, per block: the competitive impact frontier (max over
+    REALIZED (tf, norm) pairs — exact block bound,
+    CompetitiveImpactAccumulator.java:30) when present; decoupled
+    (max_tf, min_norm) for old-format blocks (valid, but pairs a tf and
+    a norm no document realizes — measured <1% prunable vs 94-99% with
+    impacts on the bench corpus). Shared by the WAND partition kernel
+    and the aligned block-max metadata job so both see identical
+    bounds."""
+    ub = np.empty(len(terms), dtype=np.float64)
+    for t in pd.unique(terms):
+        m = terms == t
+        wv_t = info["ub_wv"][t]
+        w = info["winfo"][f"{t}\x00{info['by_term'][t][0][1]}"]
+        if norms_mode == "byte":
+            if precision == "float32":
+                cache = np.asarray(w["cache"], dtype=np.float64)
+                nv = cache[min_norm[m] & 0xFF]
+            else:
+                nv = 1.2 * (0.25 + 0.75 * LENGTH_TABLE[
+                    min_norm[m] & 0xFF].astype(np.float64) / w["avgdl"])
+        else:
+            avgdl = w["avgdl32"] if precision == "float32" else w["avgdl"]
+            nv = 1.2 * (0.25 + 0.75 * min_norm[m].astype(np.float64) / avgdl)
+        ub[m] = wv_t * max_tf[m] / (max_tf[m] + nv)
+        if imp_tf_col is None:
+            continue
+        idx = np.flatnonzero(m)
+        lists_tf = imp_tf_col[idx]
+        lists_nb = imp_nb_col[idx]
+        good = np.fromiter(
+            (x is not None and not isinstance(x, float) and len(x) > 0
+             for x in lists_tf),
+            dtype=bool, count=len(idx))
+        gi = np.flatnonzero(good)
+        if not len(gi):
+            continue
+        lens = np.fromiter((len(lists_tf[j]) for j in gi),
+                           dtype=np.int64, count=len(gi))
+        ftf = np.concatenate(
+            [np.asarray(lists_tf[j], dtype=np.float64) for j in gi])
+        fnb = np.concatenate(
+            [np.asarray(lists_nb[j], dtype=np.int64) for j in gi])
+        if norms_mode == "byte":
+            if precision == "float32":
+                fnv = cache[fnb & 0xFF]
+            else:
+                fnv = 1.2 * (0.25 + 0.75 * LENGTH_TABLE[
+                    fnb & 0xFF].astype(np.float64) / w["avgdl"])
+        else:
+            fnv = 1.2 * (0.25 + 0.75 * fnb.astype(np.float64) / avgdl)
+        pair_sc = wv_t * ftf / (ftf + fnv)
+        offs = np.zeros(len(gi), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        ub[idx[gi]] = np.maximum.reduceat(pair_sc, offs)
+    return ub
+
+
+def _sparse_table(arr: np.ndarray) -> List[np.ndarray]:
+    """Range-max sparse table: st[j][i] = max(arr[i : i + 2**j]).
+    O(n log n) build, O(1) vectorized queries (_range_max)."""
+    st = [arr]
+    j = 1
+    while (1 << j) <= len(arr):
+        prev = st[-1]
+        half = 1 << (j - 1)
+        st.append(np.maximum(prev[: len(arr) - (1 << j) + 1],
+                             prev[half: half + len(arr) - (1 << j) + 1]))
+        j += 1
+    return st
+
+
+def _range_max(st: List[np.ndarray], lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Vectorized inclusive range-max over a sparse table: for each i,
+    max(arr[lo[i] : hi[i] + 1]). Queries grouped by level (<= ~14
+    distinct levels), two gathers per level."""
+    span = hi - lo + 1
+    out = np.empty(len(lo), dtype=np.float64)
+    lev = np.floor(np.log2(span)).astype(np.int64)
+    for j in np.unique(lev):
+        m = lev == j
+        t = st[j]
+        out[m] = np.maximum(t[lo[m]], t[hi[m] - (1 << int(j)) + 1])
+    return out
 
 
 def _wand_clause_scores(term: str, tfs: np.ndarray, norms: np.ndarray,

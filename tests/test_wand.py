@@ -195,3 +195,88 @@ def test_pruned_search_skips_blocks(spark, mid_index):
     assert st["blocks_total"] >= 100, "fixture drift: corpus too small"
     frac = st["blocks_decoded"] / st["blocks_total"]
     assert frac < 0.7, f"pruning ineffective: decoded {frac:.2%} of blocks"
+
+
+@pytest.mark.parametrize("terms", [
+    ("import", "class"),
+    ("class", "ident007", "ident123"),
+    ("import", "the", "def"),
+])
+def test_aligned_slack_rank_identical(searcher, terms):
+    """Doc-range-aligned block-max slack (the true BMW bound) forced on
+    via a zeroed gate must stay rank-identical to exhaustive."""
+    q = BooleanQuery(clauses=tuple(
+        BooleanClause(Occur.SHOULD, TermQuery(term=t)) for t in terms))
+    exhaustive = searcher.search(q, k=10)
+    searcher.WAND_ALIGNED_MIN_COMMON_POSTINGS = 0
+    try:
+        pruned = searcher.search(q, k=10, prune=True)
+        assert searcher.last_wand_stats["aligned_slack"], \
+            "aligned path did not engage with a zeroed gate"
+    finally:
+        del searcher.WAND_ALIGNED_MIN_COMMON_POSTINGS
+    _assert_same(pruned, exhaustive, f"aligned-or:{terms}")
+
+
+def test_aligned_slack_with_rare_prefetch(searcher):
+    """Aligned common-common slack composed with the rare-term exact
+    partial adds (both paths on at once) stays rank-identical."""
+    q = BooleanQuery(clauses=(
+        BooleanClause(Occur.SHOULD, TermQuery(term="import")),
+        BooleanClause(Occur.SHOULD, TermQuery(term="class")),
+        BooleanClause(Occur.SHOULD, TermQuery(term="ident042")),
+    ))
+    exhaustive = searcher.search(q, k=10)
+    searcher.WAND_PREFETCH_MIN_COMMON_POSTINGS = 0
+    searcher.WAND_ALIGNED_MIN_COMMON_POSTINGS = 0
+    try:
+        pruned = searcher.search(q, k=10, prune=True)
+        st = searcher.last_wand_stats
+        assert st["aligned_slack"] and st["rare_prefetch"]
+    finally:
+        del searcher.WAND_PREFETCH_MIN_COMMON_POSTINGS
+        del searcher.WAND_ALIGNED_MIN_COMMON_POSTINGS
+    _assert_same(pruned, exhaustive, "aligned+prefetch-or")
+
+
+def test_aligned_slack_prunes_on_mid_corpus(spark, mid_index):
+    """On the 20k-doc Zipf corpus a two-common-term OR must decode
+    FEWER blocks with aligned slack than with the global bound, and
+    stay rank-identical both ways."""
+    from lucene_solr_spark.search.executor import IndexReader, Searcher
+
+    s = Searcher(IndexReader(spark, mid_index, norms="byte"),
+                 precision="float32")
+    q = BooleanQuery(clauses=(
+        BooleanClause(Occur.SHOULD, TermQuery(term="import")),
+        BooleanClause(Occur.SHOULD, TermQuery(term="class")),
+    ))
+    exhaustive = s.search(q, k=10)
+    base = s.search(q, k=10, prune=True)
+    decoded_global = s.last_wand_stats["blocks_decoded"]
+    _assert_same(base, exhaustive, "mid-global")
+    s.WAND_ALIGNED_MIN_COMMON_POSTINGS = 0
+    aligned = s.search(q, k=10, prune=True)
+    decoded_aligned = s.last_wand_stats["blocks_decoded"]
+    assert s.last_wand_stats["aligned_slack"]
+    _assert_same(aligned, exhaustive, "mid-aligned")
+    assert decoded_aligned <= decoded_global, (
+        f"aligned slack decoded MORE blocks: {decoded_aligned} vs "
+        f"{decoded_global}")
+
+
+def test_sparse_table_range_max():
+    """_sparse_table/_range_max agree with brute force on random
+    ranges (the aligned-slack lookup kernel)."""
+    import numpy as np
+
+    from lucene_solr_spark.search.executor import _range_max, _sparse_table
+
+    rng = np.random.default_rng(7)
+    arr = rng.random(1000)
+    st = _sparse_table(arr)
+    lo = rng.integers(0, 1000, 500)
+    hi = np.minimum(lo + rng.integers(0, 400, 500), 999)
+    got = _range_max(st, lo, hi)
+    want = np.array([arr[a:b + 1].max() for a, b in zip(lo, hi)])
+    assert np.array_equal(got, want)
