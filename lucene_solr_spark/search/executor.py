@@ -565,24 +565,36 @@ class Searcher:
         )
 
         def decode_pos(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            # exploded occurrence rows, fully vectorized: doc repeated
-            # per tf via np.repeat; pos already flat in the block
+            # ONE ROW PER POSTING ENTRY, positions packed as an array:
+            # a doc's positions for a term live in exactly one block
+            # entry, so the per-(doc, slot) position list is complete at
+            # decode time. Shipping arrays instead of exploded
+            # occurrence rows cuts the shuffle row count from ttf
+            # (total positions) to df (matching docs) per slot — ~20x on
+            # common terms — and the downstream gather becomes
+            # first(ignorenulls) instead of ttf singleton collect_list
+            # appends (profiled 8.6M -> 0.4M shuffled rows on the
+            # 200k-doc bench phrase "def class").
             for pdf in batches:
-                cols_doc, cols_ti, cols_nb, cols_pos = [], [], [], []
+                cols_doc, cols_ti, cols_nb, cols_parr = [], [], [], []
                 for term, blob in zip(pdf["term"], pdf["blob"]):
                     doc_ids, tfs, norms, pos = decode_block_positions(bytes(blob))
+                    if len(doc_ids) == 0:
+                        continue
+                    split = np.split(pos.astype(np.int32, copy=False),
+                                     np.cumsum(tfs)[:-1])
                     for ti in slots_by_term[term]:
-                        cols_doc.append(np.repeat(doc_ids, tfs))
-                        cols_nb.append(np.repeat(norms, tfs))
-                        cols_ti.append(np.full(len(pos), ti, dtype=np.int32))
-                        cols_pos.append(pos)
+                        cols_doc.append(doc_ids)
+                        cols_nb.append(norms)
+                        cols_ti.append(np.full(len(doc_ids), ti, dtype=np.int32))
+                        cols_parr.extend(split)
                 if cols_doc:
                     yield pd.DataFrame(
                         {
                             "doc_id": np.concatenate(cols_doc),
                             "tidx": np.concatenate(cols_ti),
                             "norm": np.concatenate(cols_nb),
-                            "pos": np.concatenate(cols_pos),
+                            "parr": pd.Series(cols_parr, dtype=object),
                         }
                     )
 
@@ -603,25 +615,34 @@ class Searcher:
         occ = (
             blocks_src
             .select("term", "blob")
-            .mapInPandas(decode_pos, "doc_id long, tidx int, norm int, pos long")
+            .mapInPandas(decode_pos, "doc_id long, tidx int, norm int, parr array<int>")
         )
-        # ONE shuffle: gather each doc's positions per phrase slot as
-        # arrays, then count matches with a codegen'd array expression
-        # tf = |{p in p0 : p+i in p_i for all i}|. The former plan
-        # (n-1 position self-joins) shuffled the occurrence relation
-        # once per slot AND re-ran the decode stage per branch; this
-        # decodes once and shuffles once, with the intersection inside
-        # WholeStageCodegen. Per-doc position lists are tf-sized
-        # (bounded by maxTokenLength'd docs), so array_contains probes
-        # stay O(tf_i) — the same work ExactPhraseMatcher does per doc.
+        # ONE shuffle: gather each doc's pre-built per-slot position
+        # arrays side by side, then count matches with a codegen'd
+        # array expression tf = |{p in p0 : p+i in p_i for all i}|.
+        # The former plan (n-1 position self-joins) shuffled the
+        # occurrence relation once per slot AND re-ran the decode stage
+        # per branch; this decodes once and shuffles once (array rows),
+        # with the intersection inside WholeStageCodegen. A doc missing
+        # any slot aggregates a null array — filtered before the match,
+        # so the O(tf0 * n) probe runs only on conjunction survivors.
+        # Per-doc position lists are tf-sized (bounded by
+        # maxTokenLength'd docs), so array_contains probes stay
+        # O(tf_i) — the same work ExactPhraseMatcher does per doc.
         aggs = [F.first("norm").alias("norm")]
         for i in range(len(terms)):
             aggs.append(
-                F.collect_list(
-                    F.when(F.col("tidx") == i, F.col("pos"))
+                F.first(
+                    F.when(F.col("tidx") == i, F.col("parr")),
+                    ignorenulls=True,
                 ).alias(f"p{i}")
             )
         gathered = occ.groupBy("doc_id").agg(*aggs)
+        present = None
+        for i in range(len(terms)):
+            c = F.col(f"p{i}").isNotNull()
+            present = c if present is None else (present & c)
+        gathered = gathered.where(present)
 
         def match_pred(x):
             pred = None
@@ -713,21 +734,78 @@ class Searcher:
             return F.element_at(table, (norm_col % 256) + F.lit(1))
         return norm_col
 
+    def _decode_positions_packed(self, term_keys: List[str]):
+        """(doc_id, term, norm, parr): per-(doc, term) position ARRAYS
+        decoded from blocks — a doc's positions for a term live in one
+        block entry, so the array is complete at decode time. One row
+        per posting entry (df rows) instead of one per occurrence (ttf
+        rows): the span/phrase gather shuffle shrinks ~avg_tf-fold and
+        the downstream agg becomes first(ignorenulls) instead of ttf
+        singleton collect_list appends. Positions 1-based like
+        _decode_positions_df."""
+
+        def decode_pos(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                cols_doc, cols_term, cols_nb, cols_parr = [], [], [], []
+                for term, blob in zip(pdf["term"], pdf["blob"]):
+                    doc_ids, tfs, norms, pos = decode_block_positions(bytes(blob))
+                    if len(doc_ids) == 0:
+                        continue
+                    cols_doc.append(doc_ids)
+                    cols_nb.append(norms)
+                    cols_term.append(np.full(len(doc_ids), term, dtype=object))
+                    cols_parr.extend(np.split(pos + 1, np.cumsum(tfs)[:-1]))
+                if cols_doc:
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": np.concatenate(cols_doc),
+                            "term": np.concatenate(cols_term),
+                            "norm": np.concatenate(cols_nb),
+                            "parr": pd.Series(cols_parr, dtype=object),
+                        }
+                    )
+
+        from pyspark.sql import functions as F
+
+        return (
+            self.reader.blocks.where(F.col("term").isin(sorted(set(term_keys))))
+            .select("term", "blob")
+            .mapInPandas(decode_pos,
+                         "doc_id long, term string, norm int, parr array<long>")
+        )
+
     def _gather_positions(self, term_keys: List[str],
                           shifts: Optional[List[int]] = None):
         """(doc_id, dl, p0..p_{n-1}): per-doc position arrays per query
         slot — ONE decode pass + ONE shuffle (the exact-phrase gather
-        pattern generalized to spans)."""
+        pattern generalized to spans). Arrays ship packed per posting
+        entry; an absent slot coalesces to an empty array (span_not's
+        exclude slot legitimately matches docs without the term)."""
         from pyspark.sql import functions as F
 
-        occ = self._decode_positions_df(term_keys)
+        occ = self._decode_positions_packed(term_keys)
         aggs = [F.first("norm").alias("norm")]
         for i, t in enumerate(term_keys):
-            p = F.col("pos") - F.lit(int(shifts[i])) if shifts else F.col("pos")
+            parr = F.col("parr")
+            if shifts and shifts[i]:
+                # NB: the lambda must take exactly ONE parameter — a
+                # second (even defaulted) makes F.transform pass the
+                # array INDEX to it
+                def _shift(s):
+                    return lambda x: x - F.lit(s)
+
+                parr = F.transform(parr, _shift(int(shifts[i])))
             aggs.append(
-                F.collect_list(F.when(F.col("term") == t, p)).alias(f"p{i}")
+                F.first(F.when(F.col("term") == t, parr), ignorenulls=True)
+                .alias(f"p{i}")
             )
         g = occ.groupBy("doc_id").agg(*aggs)
+        empty = F.array().cast("array<long>")
+        g = g.select(
+            "doc_id", "norm",
+            *[F.coalesce(F.col(f"p{i}"), empty).alias(f"p{i}")
+              for i in range(len(term_keys))],
+        )
         return g.withColumn("dl", self._dl_col(F.col("norm"))).drop("norm")
 
     def _span_stats(self, term_keys: List[str], field: Optional[str]):
