@@ -2752,6 +2752,101 @@ def math_eval_series(spark, sf_dir):
     ).orderBy("event_id")
 
 
+@register("math_eval_ttest", """
+WITH s AS (
+  SELECT event_type,
+         count(*) AS n, avg(value) AS m, var_samp(value) AS v
+  FROM events WHERE event_type IN ('click', 'error') GROUP BY event_type
+), a AS (SELECT n, m, v FROM s WHERE event_type = 'click'),
+   b AS (SELECT n, m, v FROM s WHERE event_type = 'error')
+SELECT round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 6) AS t_welch,
+       round(pow(a.v / a.n + b.v / b.n, 2)
+             / (pow(a.v / a.n, 2) / (a.n - 1)
+                + pow(b.v / b.n, 2) / (b.n - 1)), 6) AS df_welch,
+       round((a.m - b.m)
+             / (sqrt(((a.n - 1) * a.v + (b.n - 1) * b.v)
+                     / (a.n + b.n - 2))
+                * sqrt(1.0 / a.n + 1.0 / b.n)), 6) AS t_pooled,
+       CAST(a.n + b.n AS BIGINT) AS n_total
+FROM a, b
+""")
+def math_eval_ttest(spark, sf_dir):
+    """Streaming-expression hypothesis-test evaluators (solrj/io/eval
+    TTestEvaluator, which delegates to commons-math TTest): two-sample
+    Welch t statistic + Welch-Satterthwaite df + pooled (equal-variance)
+    t statistic between two event-type populations. Pure arithmetic over
+    one hash aggregate's (n, mean, var) per group — identical formulas
+    on both engines, no UDFs, two tiny rows crossed after aggregation
+    (the distributed cost is the single groupBy)."""
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "error"))
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    a = s.where(F.col("event_type") == "click").select(
+        F.col("n").alias("an"), F.col("m").alias("am"), F.col("v").alias("av"))
+    b = s.where(F.col("event_type") == "error").select(
+        F.col("n").alias("bn"), F.col("m").alias("bm"), F.col("v").alias("bv"))
+    j = a.crossJoin(F.broadcast(b))
+    sa, sb = F.col("av") / F.col("an"), F.col("bv") / F.col("bn")
+    t_welch = (F.col("am") - F.col("bm")) / F.sqrt(sa + sb)
+    df_welch = F.pow(sa + sb, 2) / (
+        F.pow(sa, 2) / (F.col("an") - 1) + F.pow(sb, 2) / (F.col("bn") - 1))
+    pooled_v = ((F.col("an") - 1) * F.col("av")
+                + (F.col("bn") - 1) * F.col("bv")) / (F.col("an") + F.col("bn") - 2)
+    t_pooled = (F.col("am") - F.col("bm")) / (
+        F.sqrt(pooled_v) * F.sqrt(1.0 / F.col("an") + 1.0 / F.col("bn")))
+    return j.select(
+        F.round(t_welch, 6).alias("t_welch"),
+        F.round(df_welch, 6).alias("df_welch"),
+        F.round(t_pooled, 6).alias("t_pooled"),
+        (F.col("an") + F.col("bn")).cast("bigint").alias("n_total"),
+    )
+
+
+@register("math_eval_matrix", """
+SELECT round(corr(value, uid), 6) AS c_v_u,
+       round(corr(value, eid), 6) AS c_v_e,
+       round(corr(uid, eid), 6) AS c_u_e,
+       round(covar_samp(value, uid), 6) AS cov_v_u,
+       round(covar_samp(value, eid), 6) AS cov_v_e,
+       round(covar_samp(uid, eid), 6) AS cov_u_e,
+       round(var_samp(value), 6) AS var_v,
+       round(var_samp(uid), 6) AS var_u,
+       round(var_samp(eid), 6) AS var_e
+FROM (SELECT value, CAST(user_id AS DOUBLE) AS uid,
+             CAST(event_id AS DOUBLE) AS eid FROM events)
+""")
+def math_eval_matrix(spark, sf_dir):
+    """Matrix-mode statistics evaluators (solrj/io/eval
+    CorrelationEvaluator / CovarianceEvaluator with matrix input,
+    backed by commons-math PearsonsCorrelation/Covariance): the full
+    3x3 correlation + covariance matrix over (value, user_id, event_id)
+    — upper triangle projected as flat columns (the matrix is symmetric
+    with unit/variance diagonal). ONE hash-free global aggregate, all
+    JVM built-ins; at scale this is a single partial+final reduce, the
+    same shape commons-math's streaming Covariance update does
+    per-node."""
+    ev = load(spark, sf_dir, "events").select(
+        "value",
+        F.col("user_id").cast("double").alias("uid"),
+        F.col("event_id").cast("double").alias("eid"),
+    )
+    return ev.agg(
+        F.round(F.corr("value", "uid"), 6).alias("c_v_u"),
+        F.round(F.corr("value", "eid"), 6).alias("c_v_e"),
+        F.round(F.corr("uid", "eid"), 6).alias("c_u_e"),
+        F.round(F.covar_samp("value", "uid"), 6).alias("cov_v_u"),
+        F.round(F.covar_samp("value", "eid"), 6).alias("cov_v_e"),
+        F.round(F.covar_samp("uid", "eid"), 6).alias("cov_u_e"),
+        F.round(F.var_samp("value"), 6).alias("var_v"),
+        F.round(F.var_samp("uid"), 6).alias("var_u"),
+        F.round(F.var_samp("eid"), 6).alias("var_e"),
+    )
+
+
 @register("func_strdist", """
 SELECT p_partkey, p_brand,
        round(1.0 - CAST(levenshtein(p_brand, 'Brand#33') AS DOUBLE)
