@@ -2103,23 +2103,36 @@ class Searcher:
                     return theta
                 return max(theta, float(np.partition(sums, -kk)[-kk]))
 
-            # refresh cadence: every `chunk` decoded blocks; doubles when
-            # a refresh stops improving theta, so the worst (nothing
-            # prunes) case pays O(log n) refreshes, while the good case
-            # converges within the first chunk or two
+            # refresh cadence: a refresh recomputes per-doc sums over
+            # EVERYTHING decoded so far (O(R log R)), so refreshing on a
+            # fixed block count is quadratic when theta keeps improving
+            # by epsilon — measured 16 s on a 2M-doc mixed-df OR (~1.5k
+            # refreshes x ~400k-row unique/bincount) vs 0.7 s at 200k.
+            # Two triggers, both geometric in total cost:
+            #   - every `chunk` blocks while theta is improving, but
+            #     only until the decoded-posting count crosses
+            #     `next_rows`, which doubles on each such refresh — the
+            #     refresh series then sums to <= 2x one final-size
+            #     recompute no matter how long the descent runs;
+            #   - chunk itself doubles when a refresh stops improving
+            #     theta (the converged case stays O(log n) refreshes).
             chunk = 4
             since = 0
+            rows_decoded = 0
+            next_rows = 0
             for idx in order:
                 if key[idx] < theta - margin:
                     break  # sorted descending: all remaining blocks out
                 decode(idx)
+                rows_decoded += int(n_post[idx])
                 since += 1
-                if since >= chunk:
+                if since >= chunk and rows_decoded >= next_rows:
                     new_theta = refresh_theta()
                     if new_theta <= theta + 1e-12:
                         chunk = min(chunk * 2, 256)
                     theta = new_theta
                     since = 0
+                    next_rows = max(1024, rows_decoded * 2)
 
             if out_doc:
                 yield pd.DataFrame(
