@@ -1458,6 +1458,16 @@ class Searcher:
     WAND_ALIGNED_SPAN_CAP = 256      # blocks spanning more buckets than
     #                                  this become a global-floor row
     #                                  (bounds the explode fan-out)
+    # rare-prefetch driver budget: below this many aggregated rare docs
+    # the exact per-doc partials are collected (full-fidelity fold +
+    # exact doc-range slack); above it the prefetch degrades to a
+    # BOUNDED summary (top-N partials + bucketed range-max table) so
+    # the driver cost stays O(N + maxdoc/bucket) at ANY corpus size
+    # instead of silently disabling pruning (tests shrink these on an
+    # instance to force the summary path on tiny fixtures)
+    WAND_PREFETCH_EXACT_CAP = 2_000_000
+    WAND_PREFETCH_TOPN = 131_072
+    WAND_PREFETCH_BUCKET_DOCS = 65_536
 
     def _aligned_bucket_ubs(self, terms: List[str], by_term: dict,
                             winfo: dict, ub_wv: dict):
@@ -1699,12 +1709,22 @@ class Searcher:
                                 winfo: dict, del_arr, k: int):
         """Decode the rare terms' postings in one tiny job and return
         (sorted doc ids, aligned exact clause-sum partials, theta0 =
-        k-th best partial). The per-doc sums are EXACT for the rare
-        clauses (every rare block is decoded, tombstones filtered), so
-        theta0 is a valid global pruning threshold and the per-doc
-        values are valid per-block slack inputs. Returns None when the
-        result exceeds the defensive row cap (skew guard: fall back to
-        the global-slack path rather than a fat broadcast)."""
+        k-th best partial, bucket_table). The per-doc sums are EXACT
+        for the rare clauses (every rare block is decoded, tombstones
+        filtered), so theta0 is a valid global pruning threshold and
+        the per-doc values are valid per-block slack inputs.
+
+        Scale guard: below WAND_PREFETCH_EXACT_CAP aggregated docs the
+        exact per-doc partials are collected (bucket_table = None and
+        the kernel uses exact doc-range slack). Above it the collect
+        degrades to a BOUNDED summary instead of disabling pruning:
+        (a) the top-N partials by value (TakeOrdered — contains the
+        true top-k, so theta0 stays exact, and the theta fold adds a
+        SUBSET of the true rare mass: theta only gets lower = rank-safe)
+        and (b) a bucketed range-max table over doc space for the
+        per-block slack (bucket max >= exact doc-range max = a valid
+        upper bound). Driver cost is then O(topN + maxdoc/bucket)
+        regardless of corpus size."""
         from pyspark.sql import functions as F
 
         precision = self.precision
@@ -1742,30 +1762,52 @@ class Searcher:
                         "partial": np.concatenate(sc_out),
                     })
 
-        cap = 2_000_000  # broadcast guard: same order as the tombstone cap
-        # Arrow collect: at engaged scale this is O(100k) rows, and
-        # driver-side Row materialization was measurably the or-WAND
-        # bottleneck (~1 s at 200k rare postings); toPandas rides the
-        # same Arrow batches the executors already produce
-        pdf_rows = (
+        cap = self.WAND_PREFETCH_EXACT_CAP
+        agg = (
             self.reader.blocks.where(F.col("term").isin(rare_terms))
             .select("term", "blob")
             .mapInPandas(decode_rare, "doc_id long, partial double")
             .groupBy("doc_id").agg(F.sum("partial").alias("partial"))
-            .limit(cap + 1)
-            .toPandas()
         )
-        if len(pdf_rows) > cap:
-            return None
+        # Arrow collect: at engaged scale this is O(100k) rows, and
+        # driver-side Row materialization was measurably the or-WAND
+        # bottleneck (~1 s at 200k rare postings); toPandas rides the
+        # same Arrow batches the executors already produce
+        pdf_rows = agg.limit(cap + 1).toPandas()
         if not len(pdf_rows):
-            return np.empty(0, dtype=np.int64), np.empty(0), -np.inf
+            return np.empty(0, dtype=np.int64), np.empty(0), -np.inf, None
+        bucket = None
+        if len(pdf_rows) > cap:
+            # summary path: the aggregated rare-doc set is too big for a
+            # full-fidelity broadcast — collect two bounded projections
+            # of it instead (the agg is persisted so the rare decode
+            # runs once more, not once per projection)
+            agg = agg.persist()
+            try:
+                topn = max(self.WAND_PREFETCH_TOPN, 8 * k)
+                pdf_rows = (agg.orderBy(F.desc("partial"), F.asc("doc_id"))
+                            .limit(topn).toPandas())
+                w = self.WAND_PREFETCH_BUCKET_DOCS
+                b_pdf = (
+                    agg.groupBy(
+                        F.floor(F.col("doc_id") / w).cast("long").alias("b"))
+                    .agg(F.max("partial").alias("m"))
+                    .toPandas()
+                )
+            finally:
+                agg.unpersist()
+            nb = int(b_pdf["b"].max()) + 1
+            arr = np.zeros(nb, dtype=np.float64)
+            arr[b_pdf["b"].to_numpy(dtype=np.int64)] = (
+                b_pdf["m"].to_numpy(dtype=np.float64))
+            bucket = (w, arr)
         docs = pdf_rows["doc_id"].to_numpy(dtype=np.int64)
         parts = pdf_rows["partial"].to_numpy(dtype=np.float64)
         o = np.argsort(docs)
         docs, parts = docs[o], parts[o]
         theta0 = (float(np.partition(parts, -k)[-k])
                   if len(parts) >= k else -np.inf)
-        return docs, parts, theta0
+        return docs, parts, theta0, bucket
 
     def _search_pruned_or(self, terms_with_boost: List[Tuple[str, float]],
                           k: int) -> "pd.DataFrame":
@@ -1826,7 +1868,7 @@ class Searcher:
 
         clause_terms = [(i, t, b) for i, (t, b) in enumerate(terms_with_boost)]
         winfo, ub_wv, slack = self._per_clause_params(clause_terms)
-        rare_docs = rare_partials = None
+        rare_docs = rare_partials = rare_bucket = None
         theta0 = -np.inf
         rare_set: set = set()
         if len(ub_wv) > 1:
@@ -1897,7 +1939,7 @@ class Searcher:
                 pre = self._prefetch_rare_partials(
                     sorted(cand_rare), by_term, winfo, del_arr, k)
                 if pre is not None:
-                    rare_docs, rare_partials, theta0 = pre
+                    rare_docs, rare_partials, theta0, rare_bucket = pre
                     rare_set = cand_rare
                     # common-term slack now excludes the rare terms'
                     # global UB (replaced per block by the doc-range
@@ -1937,7 +1979,7 @@ class Searcher:
              "slack": slack, "k": k, "deletes": del_arr,
              "rare_set": rare_set, "rare_docs": rare_docs,
              "rare_partials": rare_partials, "theta0": theta0,
-             "rare_cids": rare_cids,
+             "rare_cids": rare_cids, "rare_bucket": rare_bucket,
              "aligned": aligned_tbl, "aligned_width": aligned_width}
         )
         # decode-fraction instrumentation (blocks decoded vs blocks seen)
@@ -2008,7 +2050,18 @@ class Searcher:
                 is_rare = np.isin(terms, list(rset))
                 slack_arr[is_rare] = np.inf
                 com = np.flatnonzero(~is_rare)
-                if len(com) and len(rdocs):
+                rbt = info.get("rare_bucket")
+                if len(com) and rbt is not None:
+                    # summary mode: bucketed range-max table (bucket max
+                    # >= exact doc-range max, a valid upper bound); one
+                    # O(1)-per-block vectorized sparse-table query
+                    w, barr = rbt
+                    nb = len(barr)
+                    lo_b = np.clip(min_doc[com] // w, 0, nb - 1)
+                    hi_b = np.clip(max_doc[com] // w, 0, nb - 1)
+                    slack_arr[com] += _range_max(
+                        _sparse_table(barr), lo_b, hi_b)
+                elif len(com) and len(rdocs):
                     lo = np.searchsorted(rdocs, min_doc[com], side="left")
                     hi = np.searchsorted(rdocs, max_doc[com], side="right")
                     add = np.zeros(len(com), dtype=np.float64)
@@ -2182,6 +2235,7 @@ class Searcher:
             "blocks_total": int(acc_total.value),
             "blocks_decoded": int(acc_decoded.value),
             "rare_prefetch": bool(rare_set),
+            "rare_summary": rare_bucket is not None,
             "aligned_slack": aligned_tbl is not None,
         }
         return pd.DataFrame(

@@ -120,6 +120,34 @@ def test_rare_prefetch_engages_and_rank_identical(searcher):
     _assert_same(pruned, exhaustive, "rare-prefetch-or")
 
 
+def test_rare_prefetch_summary_path_rank_identical(searcher):
+    """Beyond WAND_PREFETCH_EXACT_CAP aggregated rare docs the prefetch
+    degrades to a bounded summary (top-N partials for the theta fold +
+    bucketed range-max table for the slack bound) instead of disabling
+    pruning. Force the summary path on the tiny fixture (cap=1, small
+    buckets) and assert rank identity plus the stats flag."""
+    q = BooleanQuery(clauses=(
+        BooleanClause(Occur.SHOULD, TermQuery(term="import")),
+        BooleanClause(Occur.SHOULD, TermQuery(term="ident099")),
+        BooleanClause(Occur.SHOULD, TermQuery(term="ident042")),
+    ))
+    exhaustive = searcher.search(q, k=10)
+    searcher.WAND_PREFETCH_MIN_COMMON_POSTINGS = 0
+    searcher.WAND_PREFETCH_EXACT_CAP = 1
+    searcher.WAND_PREFETCH_TOPN = 16  # < rare doc count: fold is a subset
+    searcher.WAND_PREFETCH_BUCKET_DOCS = 8
+    try:
+        pruned = searcher.search(q, k=10, prune=True)
+        assert searcher.last_wand_stats["rare_prefetch"]
+        assert searcher.last_wand_stats["rare_summary"]
+    finally:
+        del searcher.WAND_PREFETCH_MIN_COMMON_POSTINGS
+        del searcher.WAND_PREFETCH_EXACT_CAP
+        del searcher.WAND_PREFETCH_TOPN
+        del searcher.WAND_PREFETCH_BUCKET_DOCS
+    _assert_same(pruned, exhaustive, "rare-prefetch-summary-or")
+
+
 def test_rare_prefetch_with_deletes(spark, tiny_index, tmp_path):
     """Prefetch theta0 and partials must be computed over LIVE docs:
     tombstone one rare term's entire doc set, then re-check rank
