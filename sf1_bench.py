@@ -35,6 +35,41 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _burn(seed):
+    # module-top-level: mp.Pool pickles tasks by reference
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 1 << 40, 1_000_000)
+    for _ in range(3):
+        o = np.argsort(a, kind="stable")
+        a = a[o] ^ (a >> 3)
+    return int(a[0])
+
+
+def host_control() -> dict:
+    """Same memory-bound argsort control scaling_bench.py brackets its
+    timed runs with: per-proc rate single-threaded vs at CPUS-way
+    concurrency. The ratio is the HOST's parallel memory ceiling in
+    this window — it contextualizes the build docs/s (this hypervisor's
+    aggregate memory throughput swings minute to minute; see
+    BASELINE.md round-4 scaling notes)."""
+    import multiprocessing as mp
+    import time as _t
+    _burn(0)
+    t0 = _t.time()
+    for i in range(2):
+        _burn(i)
+    single = 2.0 / (_t.time() - t0)
+    with mp.Pool(CPUS) as p:
+        p.map(_burn, range(CPUS))
+        t0 = _t.time()
+        p.map(_burn, range(CPUS, 3 * CPUS))
+        par = 2.0 / (_t.time() - t0)
+    return {"single_proc_rate": round(single, 3),
+            f"per_proc_rate_{CPUS}way": round(par, 3),
+            "host_parallel_frac": round(par / single, 3)}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=2_000_000)
@@ -150,6 +185,7 @@ def main() -> None:
 
     out["queries"] = timings
     out["wand"] = wand_frac
+    out["host_control"] = host_control()
     out["value"] = round(time.time() - t_all, 3)
 
     # scale-curve ratio vs the 200k-doc official bench (10x fewer docs):
