@@ -1915,17 +1915,14 @@ class Searcher:
             max_df = max(df_of.values()) if df_of else 0
             # rare = at least 4x smaller than the biggest clause term
             # (relative, so the optimization engages at every corpus
-            # size), bounded by an absolute postings budget so the
-            # prefetch job stays tiny at any scale
-            ranked = sorted((t for t in ub_wv if 0 < df_of[t] * 2 <= max_df),
-                            key=lambda t: df_of[t])
-            cand_rare: set = set()
-            budget = 2_000_000  # keeps the partials broadcast ~32 MB max
-            for t in ranked:
-                if df_of[t] > budget:
-                    break
-                cand_rare.add(t)
-                budget -= df_of[t]
+            # size). No absolute postings budget: the prefetch job's
+            # decode is distributed (and bounded by the common decode
+            # it exists to skip), and its driver collect is bounded
+            # inside _prefetch_rare_partials — exact per-doc partials
+            # under WAND_PREFETCH_EXACT_CAP aggregated docs, a top-N +
+            # bucketed-range-max summary above it
+            cand_rare: set = set(
+                t for t in ub_wv if 0 < df_of[t] * 2 <= max_df)
             # the prefetch costs one extra job wave (fixed scheduler +
             # filtered-scan latency, ~0.5-1 s on a warm local session and
             # comparable on a cluster); it repays only by SKIPPING decode
