@@ -1772,18 +1772,19 @@ class Searcher:
         # Arrow collect: at engaged scale this is O(100k) rows, and
         # driver-side Row materialization was measurably the or-WAND
         # bottleneck (~1 s at 200k rare postings); toPandas rides the
-        # same Arrow batches the executors already produce
-        pdf_rows = agg.limit(cap + 1).toPandas()
-        if not len(pdf_rows):
-            return np.empty(0, dtype=np.int64), np.empty(0), -np.inf, None
-        bucket = None
-        if len(pdf_rows) > cap:
-            # summary path: the aggregated rare-doc set is too big for a
-            # full-fidelity broadcast — collect two bounded projections
-            # of it instead (the agg is persisted so the rare decode
-            # runs once more, not once per projection)
-            agg = agg.persist()
-            try:
+        # same Arrow batches the executors already produce. Persisted
+        # up front so the summary path's two extra projections reuse
+        # the decoded+aggregated partials instead of re-decoding.
+        agg = agg.persist()
+        try:
+            pdf_rows = agg.limit(cap + 1).toPandas()
+            if not len(pdf_rows):
+                return np.empty(0, dtype=np.int64), np.empty(0), -np.inf, None
+            bucket = None
+            if len(pdf_rows) > cap:
+                # summary path: the aggregated rare-doc set is too big
+                # for a full-fidelity broadcast — collect two bounded
+                # projections of it instead
                 topn = max(self.WAND_PREFETCH_TOPN, 8 * k)
                 pdf_rows = (agg.orderBy(F.desc("partial"), F.asc("doc_id"))
                             .limit(topn).toPandas())
@@ -1794,13 +1795,13 @@ class Searcher:
                     .agg(F.max("partial").alias("m"))
                     .toPandas()
                 )
-            finally:
-                agg.unpersist()
-            nb = int(b_pdf["b"].max()) + 1
-            arr = np.zeros(nb, dtype=np.float64)
-            arr[b_pdf["b"].to_numpy(dtype=np.int64)] = (
-                b_pdf["m"].to_numpy(dtype=np.float64))
-            bucket = (w, arr)
+                nb = int(b_pdf["b"].max()) + 1
+                arr = np.zeros(nb, dtype=np.float64)
+                arr[b_pdf["b"].to_numpy(dtype=np.int64)] = (
+                    b_pdf["m"].to_numpy(dtype=np.float64))
+                bucket = (w, arr)
+        finally:
+            agg.unpersist()
         docs = pdf_rows["doc_id"].to_numpy(dtype=np.int64)
         parts = pdf_rows["partial"].to_numpy(dtype=np.float64)
         o = np.argsort(docs)
