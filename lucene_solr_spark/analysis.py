@@ -173,6 +173,49 @@ def word_delimiter_analyze(text: str) -> List[str]:
     return simple_analyze(text, stop=False)
 
 
+# CJKAnalyzer analog (lucene/analysis/common/src/java/org/apache/lucene/
+# analysis/cjk/CJKAnalyzer.java:35-63 chain: StandardTokenizer ->
+# CJKWidthFilter -> LowerCase -> CJKBigramFilter -> Stop).
+# CJKBigramFilter.java:40-66: adjacent CJK characters (Han, Hiragana,
+# Katakana, Hangul — all four flags on by default) pair into overlapping
+# bigrams; a CJK character with no CJK neighbor is emitted as a unigram;
+# non-CJK text passes through the standard chain untouched. Each bigram
+# consumes one position (outputUnigrams=false), so a run of n chars
+# yields n-1 consecutive positions.
+_CJK_RANGES = (
+    "ᄀ-ᇿ"   # Hangul Jamo
+    "぀-ゟ"   # Hiragana
+    "゠-ヿ"   # Katakana
+    "㐀-䶿"   # CJK ext A
+    "一-鿿"   # CJK unified
+    "가-힯"   # Hangul syllables
+    "豈-﫿"   # CJK compat ideographs
+    "ｦ-ﾟ"    # halfwidth katakana (NFKC-folded to fullwidth below)
+)
+_CJK_RUN_RE = re.compile(f"[{_CJK_RANGES}]+")
+_CJK_CHAR_RE = re.compile(f"[{_CJK_RANGES}]")
+
+
+def cjk_bigram_analyze(text: str) -> List[str]:
+    """CJK runs -> overlapping character bigrams (lone char -> unigram);
+    non-CJK segments -> lowercase simple chain. Width folding
+    (CJKWidthFilter) is approximated by NFKC on the CJK runs."""
+    import unicodedata
+
+    out: List[str] = []
+    last = 0
+    for m in _CJK_RUN_RE.finditer(text):
+        out.extend(simple_analyze(text[last:m.start()], stop=False))
+        run = unicodedata.normalize("NFKC", m.group())
+        if len(run) == 1:
+            out.append(run)
+        else:
+            out.extend(run[i:i + 2] for i in range(len(run) - 1))
+        last = m.end()
+    out.extend(simple_analyze(text[last:], stop=False))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Per-field analyzer registry (analysis/common analog, SURVEY §2.2):
 # every analyzer returns ({term: [positions]}, field_length) — the
@@ -205,6 +248,10 @@ def analyze_field(text: str, analyzer: str):
     word_delimiter — camelCase/ACRONYM/letter<->digit identifier
                    splitting + simple chain (WordDelimiterGraphFilter,
                    the source-code field analyzer)
+    cjk_bigram   — CJKAnalyzer chain: CJK runs as overlapping character
+                   bigrams (lone CJK char as unigram), non-CJK text
+                   through the simple chain (CJKAnalyzer.java:35-63,
+                   CJKBigramFilter.java:40-66)
     porter       — simple chain + Porter stem per token (PorterStemFilter
                    over the SQL-replicable tokenizer; the oracle replays
                    the stem as an embedded mapping join)
@@ -241,6 +288,8 @@ def analyze_field(text: str, analyzer: str):
         )
     if analyzer == "word_delimiter":
         return _positions_of(word_delimiter_analyze(text))
+    if analyzer == "cjk_bigram":
+        return _positions_of(cjk_bigram_analyze(text))
     if analyzer == "porter":
         from .stem import porter_stem
 

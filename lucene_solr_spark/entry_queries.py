@@ -3964,3 +3964,163 @@ def func_ord_linear(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# CJK analysis chain (SURVEY §2.2 language packs): CJKAnalyzer semantics
+# over a deterministic inline corpus (the synthetic TPC-H-ish documents
+# table is ASCII, so the CJK chain gets its own corpus — same on both
+# sides, no external data).
+# ---------------------------------------------------------------------------
+
+_CJK_DOCS = [
+    (1, "分散検索エンジン"),
+    (2, "検索システム"),
+    (3, "分散処理基盤"),
+    (4, "世界平和"),
+    (5, "平和条約締結"),
+    (6, "検索"),
+    (7, "本"),
+    (8, "全文検索エンジン実装"),
+    (9, "分散全文検索"),
+    (10, "エンジン設計"),
+]
+
+_CJK_VALUES_SQL = ", ".join(f"({i}, '{t}')" for i, t in _CJK_DOCS)
+
+
+@register("ft_cjk_bigram", f"""
+WITH corpus(doc_id, text) AS (VALUES {_CJK_VALUES_SQL}),
+toks AS (
+  SELECT doc_id, u.term FROM (
+    SELECT doc_id,
+           CASE WHEN length(text) = 1 THEN [text]
+                ELSE list_transform(range(1, length(text)),
+                                    i -> substring(text, i, 2)) END AS l
+    FROM corpus
+  ) d, unnest(d.l) AS u(term)
+),
+post AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM corpus) AS n,
+         (SELECT CAST(count(*) AS DOUBLE) FROM toks)
+           / (SELECT count(*) FROM corpus) AS avgdl
+),
+dfs AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+scored AS (
+  SELECT p.doc_id, p.term,
+         ln(1 + ((SELECT n FROM stats) - f.df + 0.5) / (f.df + 0.5))
+           * (p.tf * 2.2)
+           / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / (SELECT avgdl FROM stats)))
+           AS score
+  FROM post p JOIN dfs f USING (term) JOIN dl l USING (doc_id)
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored WHERE term = '検索'
+ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10
+""")
+def ft_cjk_bigram(spark, sf_dir):
+    """CJKAnalyzer chain + BM25 term search (CJKAnalyzer.java:35-63,
+    CJKBigramFilter.java:40-66): CJK text becomes overlapping character
+    bigrams (lone char -> unigram), the query term is itself a bigram,
+    scoring identical to the live BM25 path. The bigramming is a pure
+    Catalyst expression (sequence + transform + substring) — at 100 TB
+    this stays in WholeStageCodegen exactly like the ASCII chain; the
+    python twin (analysis.cjk_bigram_analyze) feeds the segment builder
+    and is golden-tested against this expression."""
+    corpus = spark.createDataFrame(_CJK_DOCS, "doc_id int, text string")
+    toks = corpus.select(
+        "doc_id",
+        F.explode(
+            F.when(F.length("text") == 1, F.array(F.col("text")))
+            .otherwise(F.expr(
+                "transform(sequence(1, length(text) - 1),"
+                " i -> substring(text, i, 2))"))
+        ).alias("term"),
+    )
+    post = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    n, total = corpus.count(), toks.count()
+    avgdl = total / n
+    dfs = post.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        post.join(dfs, "term").join(dl, "doc_id")
+        .select(
+            "doc_id", "term",
+            (F.log(1.0 + (F.lit(float(n)) - F.col("df") + 0.5)
+                   / (F.col("df") + 0.5))
+             * (F.col("tf") * 2.2)
+             / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.lit(avgdl)))
+             ).alias("score"),
+        )
+    )
+    return (
+        scored.where(F.col("term") == "検索")
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc(F.round("score", 6)), F.asc("doc_id")).limit(10)
+    )
+
+
+@register("math_eval_dist", """
+WITH base AS (
+  SELECT event_id, value,
+         value / 100.0 AS z,
+         CAST(event_id % 6 AS BIGINT) AS k
+  FROM events WHERE event_id <= 200
+),
+erf AS (
+  SELECT event_id, value, k, z, abs(z) / sqrt(2.0) AS x FROM base
+),
+phi AS (
+  SELECT event_id, value, k, z,
+         1.0 - (0.254829592 * (1.0/(1.0+0.3275911*x))
+              - 0.284496736 * pow(1.0/(1.0+0.3275911*x), 2)
+              + 1.421413741 * pow(1.0/(1.0+0.3275911*x), 3)
+              - 1.453152027 * pow(1.0/(1.0+0.3275911*x), 4)
+              + 1.061405429 * pow(1.0/(1.0+0.3275911*x), 5)) * exp(-x*x)
+           AS erfx
+  FROM erf
+)
+SELECT event_id,
+       round(CASE WHEN z >= 0 THEN 0.5 * (1.0 + erfx)
+                  ELSE 0.5 * (1.0 - erfx) END, 6) AS f_norm_cdf,
+       round(exp(-z*z/2.0) / sqrt(2.0 * pi()), 6) AS f_norm_pdf,
+       round(1.0 - exp(-0.01 * abs(value)), 6) AS f_expon_cdf,
+       round(exp(-3.0) * pow(3.0, k) / CAST(factorial(CAST(k AS INT)) AS DOUBLE), 6)
+         AS f_poisson_pmf,
+       round(least(greatest(value / 1000.0, 0.0), 1.0), 6) AS f_unif_cdf
+FROM phi ORDER BY event_id
+""")
+def math_eval_dist(spark, sf_dir):
+    """Math-eval distribution tail (solrj/io/eval: NormalDistribution-
+    Evaluator, CumulativeProbabilityEvaluator, DensityEvaluator,
+    ExponentialDistribution, PoissonDistribution, UniformDistribution):
+    closed-form CDF/PDF/PMF as whole-stage-codegen expressions — the
+    normal CDF via the Abramowitz-Stegun 7.1.26 erf polynomial, written
+    with the IDENTICAL arithmetic on both sides so the float64 results
+    hash-match. Sampling-based evaluators are out of scope (no
+    deterministic cross-engine RNG); probability evaluation is the part
+    a query pipeline consumes."""
+    ev = load(spark, sf_dir, "events").where(F.col("event_id") <= 200)
+    v = F.col("value")
+    z = v / 100.0
+    x = F.abs(z) / F.sqrt(F.lit(2.0))
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    erfx = 1.0 - (0.254829592 * t - 0.284496736 * F.pow(t, 2)
+                  + 1.421413741 * F.pow(t, 3) - 1.453152027 * F.pow(t, 4)
+                  + 1.061405429 * F.pow(t, 5)) * F.exp(-x * x)
+    k = (F.col("event_id") % 6).cast("bigint")
+    return ev.select(
+        "event_id",
+        F.round(F.when(z >= 0, 0.5 * (1.0 + erfx))
+                .otherwise(0.5 * (1.0 - erfx)), 6).alias("f_norm_cdf"),
+        F.round(F.exp(-z * z / 2.0) / F.sqrt(F.lit(2.0 * 3.141592653589793)), 6)
+         .alias("f_norm_pdf"),
+        F.round(1.0 - F.exp(-0.01 * F.abs(v)), 6).alias("f_expon_cdf"),
+        F.round(F.exp(F.lit(-3.0)) * F.pow(F.lit(3.0), k)
+                / F.factorial(k.cast("int")).cast("double"), 6)
+         .alias("f_poisson_pmf"),
+        F.round(F.least(F.greatest(v / 1000.0, F.lit(0.0)), F.lit(1.0)), 6)
+         .alias("f_unif_cdf"),
+    ).orderBy("event_id")

@@ -192,3 +192,37 @@ class TestFieldAnalyzerRegistry:
                 f"SELECT list_filter(regexp_split_to_array(lower({expr}),"
                 " '[^a-z0-9]+'), x -> x <> '')", [t]).fetchone()[0]
             assert got == word_delimiter_analyze(t), t
+
+
+class TestCJKBigram:
+    def test_cjk_bigram_goldens(self):
+        # CJKBigramFilter semantics (CJKBigramFilter.java:40-66, cases
+        # from TestCJKBigramFilter.java): adjacent CJK chars pair into
+        # overlapping bigrams, a lone CJK char stays a unigram, non-CJK
+        # text passes through the (lowercase) word chain, and bigrams
+        # cross the Han/Hiragana/Katakana/Hangul script boundaries
+        # (all four flags on — the CJKAnalyzer default).
+        from lucene_solr_spark.analysis import cjk_bigram_analyze as c
+
+        assert c("世界平和") == ["世界", "界平", "平和"]
+        assert c("本") == ["本"]
+        assert c("Hello 世界 test") == ["hello", "世界", "test"]
+        assert c("カタカナです") == ["カタ", "タカ", "カナ", "ナで", "です"]
+        assert c("한국어") == ["한국", "국어"]
+        assert c("abc123") == ["abc123"]
+        assert c("") == []
+
+    def test_cjk_field_registry_positions(self):
+        # a run of n chars emits n-1 bigrams at consecutive positions
+        # (each bigram consumes one position; outputUnigrams=false)
+        from lucene_solr_spark.analysis import analyze_field
+
+        per, length = analyze_field("分散検索", "cjk_bigram")
+        assert per == {"分散": [0], "散検": [1], "検索": [2]}
+        assert length == 3
+
+    def test_cjk_width_folding(self):
+        # CJKWidthFilter analog: halfwidth katakana folds to fullwidth
+        from lucene_solr_spark.analysis import cjk_bigram_analyze as c
+
+        assert c("ｶﾅ") == c("カナ") == ["カナ"]
