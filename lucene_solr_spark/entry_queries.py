@@ -4124,3 +4124,49 @@ def math_eval_dist(spark, sf_dir):
         F.round(F.least(F.greatest(v / 1000.0, F.lit(0.0)), F.lit(1.0)), 6)
          .alias("f_unif_cdf"),
     ).orderBy("event_id")
+
+
+@register("math_eval_sampling", """
+WITH u AS (
+  SELECT event_id,
+         CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+              AS BIGINT) / 1152921504606846976.0 AS u1,
+         CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || 'x'), 1, 15))
+              AS BIGINT) / 1152921504606846976.0 AS u2
+  FROM events WHERE event_id <= 300
+)
+SELECT event_id,
+       round(u1, 6) AS f_uniform,
+       round(-ln(1.0 - u1) / 0.5, 6) AS f_exponential,
+       round(sqrt(-2.0 * ln(u1)) * cos(2.0 * pi() * u2), 6) AS f_normal,
+       CAST(u1 < 0.3 AS BIGINT) AS f_bernoulli,
+       CAST(floor(u2 * 6.0) + 1 AS BIGINT) AS f_die
+FROM u ORDER BY event_id
+""")
+def math_eval_sampling(spark, sf_dir):
+    """Sampling evaluators (solrj/io/eval: UniformDistribution /
+    ExponentialDistribution / NormalDistribution .sample(),
+    SampleEvaluator) with a DETERMINISTIC cross-engine RNG: the uniform
+    variate is a 60-bit md5 prefix of the row key (the same portable
+    h60 construction the LSH oracles use), so inverse-CDF exponential,
+    Box-Muller normal, Bernoulli, and a discrete die are all exact on
+    both engines. Seeded reproducible sampling is what a data pipeline
+    wants anyway — Lucene/Solr's samplers take a seed for the same
+    reason; at 100 TB this is one whole-stage-codegen projection, no
+    shuffle, no RNG state to coordinate across executors."""
+    ev = load(spark, sf_dir, "events").where(F.col("event_id") <= 300)
+    key = F.col("event_id").cast("string")
+    u1 = (F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+          / F.lit(float(1 << 60)))
+    u2 = (F.conv(F.substring(F.md5(F.concat(key, F.lit("x"))), 1, 15), 16, 10)
+          .cast("bigint") / F.lit(float(1 << 60)))
+    two_pi = 2.0 * 3.141592653589793
+    return ev.select(
+        "event_id",
+        F.round(u1, 6).alias("f_uniform"),
+        F.round(-F.log(1.0 - u1) / 0.5, 6).alias("f_exponential"),
+        F.round(F.sqrt(-2.0 * F.log(u1)) * F.cos(F.lit(two_pi) * u2), 6)
+         .alias("f_normal"),
+        (u1 < 0.3).cast("bigint").alias("f_bernoulli"),
+        (F.floor(u2 * 6.0) + 1).cast("bigint").alias("f_die"),
+    ).orderBy("event_id")

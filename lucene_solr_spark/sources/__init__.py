@@ -11,4 +11,5 @@ catalog snapshots; it raises with a clear message when the runtime is
 absent.
 """
 
+from .jdbc import jdbc_stream  # noqa: F401
 from .tables import IcebergFormat, ParquetManifestFormat, table_format  # noqa: F401
