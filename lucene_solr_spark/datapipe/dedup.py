@@ -294,9 +294,18 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
     Algorithm: hash-min label propagation. Each round every node takes
     the min label among itself and its neighbors — one join + one
     groupBy(min) per round, converging in O(graph diameter) rounds.
-    Near-dup clusters are small and dense (diameter 2-4), so 3-5
-    rounds in practice; convergence is detected by the monotone
-    sum-of-labels invariant (labels only ever decrease, so an
+    Near-dup graphs do grow chains (the sf0.1 bench corpus has a
+    diameter-13 chain -> 14 rounds), but rounds here are CHEAP: the
+    working set is the endpoint subgraph and each round is one small
+    shuffle. The pointer-doubling / path-halving shortcut
+    (Shiloach-Vishkin; Kiveris et al. 2014 large-star/small-star) was
+    measured on this engine and REJECTED: the label(label) self-join
+    re-evaluates the round's un-materialized aggregate per hop, so
+    rounds cost 2-4x while only dropping 14 -> 10 on the bench graph
+    (A/B: plain 5.8 s, 1-hop 7.0 s, 2-hop 12.3 s, same session) — a
+    checkpoint per hop would fix the re-evaluation but pays the same
+    job latency the saved rounds cost. Convergence is detected by the
+    monotone sum-of-labels invariant (labels only ever decrease, so an
     unchanged sum IS the fixpoint — one cheap driver-side scalar per
     round, no change-count join). Scale notes (100 TB): the loop runs
     ONLY over edge endpoints — singletons (the overwhelming majority
@@ -305,10 +314,6 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
     is O(near-dup nodes), not O(corpus). Lineage is truncated every
     round with localCheckpoint so the plan stays flat; each round is
     one shuffle on doc_id; no driver-side data beyond the 1-row sum.
-    For adversarial graphs with large diameters the
-    alternating large-star/small-star variant (Kiveris et al. 2014,
-    "Connected Components in MapReduce") drops rounds to O(log n);
-    near-dup graphs never need it.
 
     pairs: (a, b) columns, one row per undirected edge.
     ids: one row per node with column doc_id (defines the universe).
