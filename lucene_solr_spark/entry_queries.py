@@ -4170,3 +4170,103 @@ def math_eval_sampling(spark, sf_dir):
         (u1 < 0.3).cast("bigint").alias("f_bernoulli"),
         (F.floor(u2 * 6.0) + 1).cast("bigint").alias("f_die"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Graph traversal streams (solrj/io/graph, SURVEY §2.9): the walk runs
+# over the customer—part bipartite graph derived from orders x lineitem
+# (node ids prefixed 'c'/'p'), edges fed in both directions.
+# ---------------------------------------------------------------------------
+
+_GRAPH_EDGES_SQL = """
+cp AS (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS c,
+                  'p' || CAST(l.l_partkey AS VARCHAR) AS p
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT c AS src, p AS dst FROM cp
+  UNION ALL
+  SELECT p AS src, c AS dst FROM cp
+)"""
+
+
+def _graph_edges(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+                F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("p"))
+        .distinct()
+    )
+    return (cp.select(F.col("c").alias("src"), F.col("p").alias("dst"))
+            .union(cp.select(F.col("p").alias("src"), F.col("c").alias("dst"))))
+
+
+@register("graph_gather_nodes", "WITH " + _GRAPH_EDGES_SQL + """,
+l0(node) AS (VALUES ('c1'), ('c2'), ('c3')),
+l1 AS (
+  SELECT DISTINCT e.dst AS node FROM edges e JOIN l0 ON e.src = l0.node
+  WHERE e.dst NOT IN (SELECT node FROM l0)
+),
+l2 AS (
+  SELECT DISTINCT e.dst AS node FROM edges e JOIN l1 ON e.src = l1.node
+  WHERE e.dst NOT IN (SELECT node FROM l0)
+    AND e.dst NOT IN (SELECT node FROM l1)
+)
+SELECT node, level FROM (
+  SELECT node, 0 AS level FROM l0
+  UNION ALL SELECT node, 1 AS level FROM l1
+  UNION ALL SELECT node, 2 AS level FROM l2
+) ORDER BY level, node
+""")
+def graph_gather_nodes(spark, sf_dir):
+    """nodes(...) / GatherNodesStream (GatherNodesStream.java:66-118):
+    2-level breadth-first gather from root customers {c1,c2,c3} —
+    level 1 = parts they ordered, level 2 = other customers of those
+    parts (the collaborative-filter walk); each node labeled with its
+    FIRST-reached level (Traversal.java:30-52 visited semantics). One
+    hash join + one anti-join per level; edges persist once."""
+    from .graph import gather_nodes
+
+    out = gather_nodes(_graph_edges(spark, sf_dir), ["c1", "c2", "c3"], 2)
+    return out.orderBy("level", "node")
+
+
+@register("graph_shortest_path", "WITH RECURSIVE " + _GRAPH_EDGES_SQL + """,
+lvl AS (
+  SELECT 'c1' AS node, 0 AS d
+  UNION
+  SELECT e.dst, lvl.d + 1 FROM lvl JOIN edges e ON e.src = lvl.node
+  WHERE lvl.d < 4
+),
+bfs AS (SELECT node, min(d) AS d FROM lvl GROUP BY node),
+target_d AS (SELECT d FROM bfs WHERE node = 'c2'),
+paths AS (
+  SELECT 'c1' AS node, ['c1'] AS path, 0 AS d
+  UNION ALL
+  SELECT e.dst, array_append(p.path, e.dst), p.d + 1
+  FROM paths p
+  JOIN edges e ON e.src = p.node
+  JOIN bfs b ON b.node = e.dst AND b.d = p.d + 1
+  WHERE p.d < (SELECT d FROM target_d)
+)
+SELECT array_to_string(path, '->') AS path_str,
+       CAST(d AS INT) AS depth
+FROM paths WHERE node = 'c2' AND d = (SELECT d FROM target_d)
+ORDER BY path_str
+""")
+def graph_shortest_path(spark, sf_dir):
+    """shortestPath(...) / ShortestPathStream
+    (ShortestPathStream.java:60-135): every shortest path c1 -> c2
+    through the bipartite graph (via shared parts), BFS one join per
+    level, pruned to the shortest-path DAG, stopping at the first
+    level that reaches the target; maxDepth=4. Oracle: recursive-CTE
+    BFS levels + DAG-restricted path enumeration."""
+    from .graph import shortest_paths
+
+    out = shortest_paths(_graph_edges(spark, sf_dir), "c1", "c2", 4)
+    return (out.select(F.array_join("path", "->").alias("path_str"),
+                       F.col("depth").cast("int").alias("depth"))
+            .orderBy("path_str"))
