@@ -170,3 +170,51 @@ def lsh_bucket_topk(df: DataFrame, query_id: int, k: int = 10, n_planes: int = 8
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def lsh_near_pairs(df: DataFrame, threshold: float = 0.9,
+                   n_bands: int = 4, band_planes: int = 4,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-dup PAIRS at scale: banded sign-LSH discovery +
+    exact cosine verification — the all-pairs counterpart of
+    lsh_bucket_topk (which answers one query) and the scale path for
+    cosine_near_pairs (which is the quadratic verifier). Signature =
+    n_bands x band_planes deterministic hyperplane sign bits; two
+    vectors are CANDIDATES iff they agree on all bits of >= 1 band
+    (P(candidate | cos 0.9) ~ 0.95 at 4x4), then candidates — deduped
+    across bands BEFORE the vector join, the same bare-pair-first
+    shape as minhash_lsh_pairs — are verified with exact cosine >=
+    threshold. At 100 TB: bucket assignment is map-only, the join key
+    is (band, bits) so no cross join ever forms, and the verify join
+    touches candidate rows only."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = [_hyperplane(dim, i) for i in range(n_bands * band_planes)]
+
+    def band_key(vec: Column, band: int) -> Column:
+        bits: Optional[Column] = None
+        for i in range(band_planes):
+            p = planes[band * band_planes + i]
+            proj = dot(vec, F.array(*[F.lit(x) for x in p]))
+            bit = F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+            bits = bit if bits is None else bits + bit
+        return F.lit(band * (1 << band_planes)) + bits
+
+    keys = F.array(*[band_key(F.col(vec_col), b) for b in range(n_bands)])
+    buckets = df.select(F.col(id_col).alias("vid"),
+                        F.explode(keys).alias("bucket"))
+    left = buckets.select(F.col("vid").alias("a"), "bucket")
+    right = buckets.select(F.col("vid").alias("b"), "bucket")
+    cand = (
+        left.join(right, "bucket")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b").distinct()
+    )
+    va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "a").join(vb, "b")
+        .select("a", "b",
+                F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )

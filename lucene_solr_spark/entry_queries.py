@@ -4270,3 +4270,77 @@ def graph_shortest_path(spark, sf_dir):
     return (out.select(F.array_join("path", "->").alias("path_str"),
                        F.col("depth").cast("int").alias("depth"))
             .orderBy("path_str"))
+
+
+def _dedup_embedding_lsh_sql(threshold: float = 0.9, n_bands: int = 4,
+                             band_planes: int = 4, dim: int = 64) -> str:
+    """DuckDB replica of similarity.lsh_near_pairs: the deterministic
+    md5-seeded hyperplanes fold into SQL as literals, band keys and the
+    candidate bucket join replay exactly, then exact-cosine verify.
+    The corpus is embeddings UNION a deterministic near-dup copy of
+    vec_id <= 50 (every 3rd component scaled 1.3x -> cosine ~0.992,
+    far above the synthetic table's 0.51 background max), so the
+    operator has real duplicates to find — same construction on the
+    Spark side."""
+    dv = "CAST(embedding AS DOUBLE[])"
+    keys = []
+    for b in range(n_bands):
+        bits = " + ".join(
+            "CASE WHEN list_dot_product(v, [{p}]) >= 0 THEN {w} ELSE 0 END"
+            .format(p=", ".join(repr(x) for x in
+                                _sim._hyperplane(dim, b * band_planes + i)),
+                    w=1 << i)
+            for i in range(band_planes))
+        keys.append(f"{b * (1 << band_planes)} + ({bits})")
+    cos = ("list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))"
+           " * sqrt(list_dot_product(b.v, b.v)))")
+    return f"""
+WITH base AS (SELECT vec_id, {dv} AS v FROM embeddings),
+corpus AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(range(1, len(v) + 1),
+             i -> v[i] * (1.0 + CASE WHEN (i - 1) % 3 = 0
+                                     THEN 0.3 ELSE 0.0 END)) AS v
+  FROM base WHERE vec_id <= 50
+),
+wb AS (
+  SELECT vec_id, v, unnest([{', '.join(keys)}]) AS bucket FROM corpus
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
+  FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT cand.a, cand.b, round({cos}, 6) AS cos
+FROM cand JOIN corpus a ON a.vec_id = cand.a JOIN corpus b ON b.vec_id = cand.b
+WHERE round({cos}, 6) >= {threshold}
+"""
+
+
+@register("dedup_embedding_lsh", _dedup_embedding_lsh_sql())
+def dedup_embedding_lsh(spark, sf_dir):
+    """Embedding-cosine near-dup at scale: banded sign-LSH candidate
+    discovery (4 bands x 4 deterministic hyperplane sign bits, bucket
+    join — no cross join) + exact cosine >= 0.9 verification on the
+    deduped candidate set (datapipe/similarity.py lsh_near_pairs).
+    The corpus is embeddings plus a deterministic near-dup copy of
+    vec_id <= 50 (index-keyed 1.3x scaling of every 3rd component,
+    cosine ~0.992) — the synthetic table itself is near-random (max
+    pairwise cosine 0.51), so real duplicates are synthesized the same
+    way on both sides. Fully hash-checked: the md5-seeded planes
+    replay in SQL; recall vs the exact quadratic verifier measured in
+    tests/test_datapipe.py."""
+    base = (load(spark, sf_dir, "embeddings")
+            .select("vec_id", F.col("embedding").cast("array<double>")
+                    .alias("embedding")))
+    dups = base.where(F.col("vec_id") <= 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, size(embedding)),"
+            " i -> element_at(embedding, i)"
+            " * (1.0d + CASE WHEN (i - 1) % 3 = 0"
+            " THEN 0.3d ELSE 0.0d END))").alias("embedding"),
+    )
+    return _sim.lsh_near_pairs(base.union(dups), threshold=0.9)
+

@@ -114,3 +114,31 @@ def test_mm_resize_deterministic_and_shaped(spark, docs):
 
     with _pt.raises(NotImplementedError):
         multimodal.resize_images(docs, fake_decode=False)
+
+
+def test_lsh_near_pairs_recall_vs_exact(spark, embeddings):
+    """Banded sign-LSH pair discovery must find every exact cosine >=
+    0.9 pair in a corpus with planted near-dups (50 perturbed copies,
+    cosine ~0.992: P(candidate) ~ 0.997/pair at 4x4 banding) and never
+    report a pair below the threshold (exact verify step)."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.datapipe import similarity
+
+    base = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    dups = base.where(F.col("vec_id") <= 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr("transform(sequence(1, size(embedding)),"
+               " i -> element_at(embedding, i)"
+               " * (1.0d + CASE WHEN (i - 1) % 3 = 0 THEN 0.3d ELSE 0.0d END))"
+               ).alias("embedding"))
+    corpus = base.union(dups)
+    exact = {(r["a"], r["b"])
+             for r in similarity.cosine_near_pairs(corpus, 0.9).collect()}
+    approx = {(r["a"], r["b"]): r["cos"]
+              for r in similarity.lsh_near_pairs(corpus, 0.9).collect()}
+    assert exact, "planted dups must produce exact pairs"
+    recall = len(exact & set(approx)) / len(exact)
+    assert recall >= 0.9, f"recall {recall}"
+    assert all(c >= 0.9 for c in approx.values())
