@@ -177,8 +177,9 @@ def main() -> None:
         "tpch_q1", "tpch_q3_shipping", "rollup_stats", "grouping_topk",
         "timeseries_events", "join_inner", "join_left",
         "dedup_exact", "dedup_simhash", "dedup_minhash_lsh",
-        "dedup_components", "early_terminate_sorted", "stream_regression",
-        "ann_cosine_topk", "text_quality", "text_token_counts",
+        "dedup_components", "dedup_embedding_lsh", "early_terminate_sorted",
+        "stream_regression", "ann_cosine_topk", "graph_shortest_path",
+        "text_quality", "text_token_counts",
     ]
     headliners += ["seg_span_near", "seg_lm_dirichlet", "seg_passage_highlight"]
     reg = entry_queries.queries()
