@@ -188,7 +188,11 @@ def lsh_near_pairs(df: DataFrame, threshold: float = 0.9,
     threshold. At 100 TB: bucket assignment is map-only, the join key
     is (band, bits) so no cross join ever forms, and the verify join
     touches candidate rows only."""
-    dim = len(df.select(vec_col).first()[0])
+    head = df.select(vec_col).first()
+    if head is None:  # empty corpus: no pairs (and no dim to hash with)
+        return df.sparkSession.createDataFrame(
+            [], "a long, b long, cos double")
+    dim = len(head[0])
     planes = [_hyperplane(dim, i) for i in range(n_bands * band_planes)]
 
     def band_key(vec: Column, band: int) -> Column:

@@ -3034,6 +3034,14 @@ def _stemmed_term_sql() -> str:
             vocab.update(r[0] for r in rows)
     except Exception:
         pass
+    if not vocab:
+        # an empty map would make the oracle COALESCE every token to
+        # itself while the Spark side stems — a silent false mismatch;
+        # fail loudly instead (different corpus => regenerate the map)
+        raise RuntimeError(
+            "ft_stemmed_term oracle: no testdata vocabulary found under "
+            "/root/testdata/sf*/documents.parquet; the embedded stem map "
+            "must be rebuilt for this corpus")
     pairs = sorted({(w + suf, porter_stem(w + suf))
                     for w in vocab for suf in _STEM_SUFFIXES})
     values = ",\n    ".join(f"('{t}', '{s}')" for t, s in pairs) or "('', '')"
@@ -3184,6 +3192,11 @@ def _light_stemmers_sql() -> str:
             vocab.update(r[0] for r in rows)
     except Exception:
         pass
+    if not vocab:
+        raise RuntimeError(
+            "ft_light_stemmers oracle: no testdata vocabulary found under "
+            "/root/testdata/sf*/documents.parquet; the embedded stem map "
+            "must be rebuilt for this corpus")
     pairs = sorted({
         (lang, w + suf, LIGHT_STEMMERS[lang](w + suf))
         for w in vocab for suf in _LIGHT_SUFFIXES

@@ -27,7 +27,7 @@ from typing import Iterator, List, Optional
 import numpy as np
 import pandas as pd
 
-from ..codec import decode_block_positions, split_blocks_batch
+from ..codec import BLOCK_SIZE, decode_block_positions, split_blocks_batch
 from .builder import POSTINGS_SCHEMA, _pack_partition, compute_term_stats
 from .manifest import Manifest, ManifestStore, SegmentInfo, doc_meta_path, postings_path
 
@@ -36,6 +36,9 @@ MAX_MERGE_AT_ONCE = 10
 SEGS_PER_TIER = 10.0
 MAX_MERGED_SEGMENT_BYTES = 5 * 1024**3
 FLOOR_SEGMENT_BYTES = 2 * 1024**2
+# repack flush threshold (rows buffered before encoding complete terms);
+# module constant so tests can shrink it to exercise the mid-term path
+REPACK_FLUSH_ROWS = 2_000_000
 
 
 def _floor_size(bytes_: int) -> int:
@@ -290,10 +293,13 @@ def _repack_aggregated(batches: Iterator[pd.DataFrame], with_positions: bool) ->
     block encoder. Unlike the builder's raw-token packer, (term, doc)
     pairs are unique here (each doc lived in exactly one input segment).
 
-    Memory is bounded: rows buffer up to ~2M and only COMPLETE terms are
-    encoded per round; the (possibly batch-straddling) final term is
-    carried into the next round so no term is ever split across encode
-    calls (tail blocks may only appear at true term end)."""
+    Memory is bounded: rows buffer up to ~2M and COMPLETE terms are
+    encoded per round, the (possibly batch-straddling) final term
+    carried into the next round. A single term LARGER than the buffer
+    (a stop-word-class term in a big merged partition) is encoded
+    mid-term at a BLOCK_SIZE multiple — all emitted blocks are full,
+    so the codec invariant (a tail block only at true term end) holds,
+    and the carried remainder stays < BLOCK_SIZE + one input batch."""
 
     def encode(pdf: pd.DataFrame) -> Iterator[pd.DataFrame]:
         terms = pdf["term"].to_numpy()
@@ -323,21 +329,36 @@ def _repack_aggregated(batches: Iterator[pd.DataFrame], with_positions: bool) ->
         for lo in range(0, nblocks, 65536):
             yield pd.DataFrame({k: v[lo:lo + 65536] for k, v in cols.items()})
 
-    buf: pd.DataFrame | None = None
+    pending: List[pd.DataFrame] = []
+    n_pending = 0
     for pdf in batches:
         if not len(pdf):
             continue
-        buf = pdf if buf is None else pd.concat([buf, pdf], ignore_index=True)
-        if len(buf) >= 2_000_000:
+        pending.append(pdf)
+        n_pending += len(pdf)
+        if n_pending >= REPACK_FLUSH_ROWS:
+            buf = (pending[0] if len(pending) == 1
+                   else pd.concat(pending, ignore_index=True))
             terms = buf["term"].to_numpy()
             heads = np.flatnonzero(
                 np.concatenate(([True], terms[1:] != terms[:-1])))
             cut = int(heads[-1])
-            if cut > 0:  # encode complete terms, carry the last one
+            if cut == 0:
+                # ONE term fills the whole buffer: encode full blocks
+                # mid-term (cut at a BLOCK_SIZE multiple — no tail
+                # block is emitted, so the term can continue in later
+                # rounds) instead of growing the buffer without bound
+                cut = (len(buf) // BLOCK_SIZE) * BLOCK_SIZE
+            if cut > 0:
                 yield from encode(buf.iloc[:cut])
                 buf = buf.iloc[cut:].reset_index(drop=True)
-    if buf is not None and len(buf):
-        yield from encode(buf)
+            pending = [buf]
+            n_pending = len(buf)
+    if n_pending:
+        buf = (pending[0] if len(pending) == 1
+               else pd.concat(pending, ignore_index=True))
+        if len(buf):
+            yield from encode(buf)
 
 
 def _segment_has_positions(spark, seg_dir: str) -> bool:

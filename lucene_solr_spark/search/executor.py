@@ -1914,9 +1914,11 @@ class Searcher:
                 for t in ub_wv
             }
             max_df = max(df_of.values()) if df_of else 0
-            # rare = at least 4x smaller than the biggest clause term
+            # rare = at least 2x smaller than the biggest clause term
             # (relative, so the optimization engages at every corpus
-            # size). No absolute postings budget: the prefetch job's
+            # size; 2x is what the bench runs were tuned with — the
+            # common-postings gate below is the real cost guard).
+            # No absolute postings budget: the prefetch job's
             # decode is distributed (and bounded by the common decode
             # it exists to skip), and its driver collect is bounded
             # inside _prefetch_rare_partials — exact per-doc partials

@@ -51,18 +51,23 @@ def jdbc_stream(
     props = dict(properties or {})
     if driver:
         props["driver"] = driver
-    reader = spark.read.format("jdbc").option("url", url).option(
-        "query", query)
-    for k, v in props.items():
-        reader = reader.option(k, v)
+    reader = spark.read.format("jdbc").option("url", url)
     if partition_column is not None:
         if lower_bound is None or upper_bound is None:
             raise ValueError(
                 "partition_column requires lower_bound and upper_bound")
-        reader = (reader.option("partitionColumn", partition_column)
+        # Spark's JDBC source forbids 'query' together with
+        # 'partitionColumn' — the partitioned form requires the query
+        # as a dbtable subquery alias instead.
+        reader = (reader.option("dbtable", f"({query}) lss_jdbc_q")
+                  .option("partitionColumn", partition_column)
                   .option("lowerBound", str(lower_bound))
                   .option("upperBound", str(upper_bound))
                   .option("numPartitions", str(num_partitions)))
+    else:
+        reader = reader.option("query", query)
+    for k, v in props.items():
+        reader = reader.option(k, v)
     df = reader.load()
     if sort:
         from pyspark.sql import functions as F

@@ -174,3 +174,40 @@ def test_split_blocks_batch_bit_identical():
                     assert bytes(res["blob"][k]) == blk["blob"]
                     k += 1
             assert k == len(res["n"])
+
+
+def test_repack_mega_term_bounded_midterm_flush(monkeypatch):
+    """A single term larger than the repack buffer must flush full
+    blocks mid-term (bounded memory) and decode back to the exact
+    posting list — tail block only at true term end."""
+    import numpy as np
+    import pandas as pd
+
+    from lucene_solr_spark.codec import BLOCK_SIZE, decode_block
+    from lucene_solr_spark.indexing import merge as m
+
+    monkeypatch.setattr(m, "REPACK_FLUSH_ROWS", 1000)
+    n = 3210  # > 3 flush rounds, non-multiple of BLOCK_SIZE
+    docs = np.arange(1, n + 1, dtype=np.int64) * 3
+    batches = [
+        pd.DataFrame({
+            "term": np.array(["mega"] * len(chunk), dtype=object),
+            "doc_id": chunk,
+            "tf": np.ones(len(chunk), dtype=np.int64),
+            "norm": np.full(len(chunk), 7, dtype=np.int64),
+        })
+        for chunk in np.array_split(docs, 9)
+    ]
+    blocks = pd.concat(
+        list(m._repack_aggregated(iter(batches), with_positions=False)),
+        ignore_index=True)
+    assert (blocks["term"] == "mega").all()
+    # every block but the last is full; exactly one tail block
+    assert (blocks["n"].to_numpy()[:-1] == BLOCK_SIZE).all()
+    assert blocks["n"].sum() == n
+    # blocks cover the postings in order, bit-exact on decode
+    out_docs = []
+    for _, row in blocks.sort_values("min_doc").iterrows():
+        d, f, nb = decode_block(bytes(row["blob"]))
+        out_docs.extend(d.tolist())
+    assert out_docs == docs.tolist()
