@@ -176,6 +176,37 @@ spark.stop()
 """
 
 
+def _probe_burn(seed):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 1 << 40, 1_000_000)
+    for _ in range(3):
+        o = np.argsort(a, kind="stable")
+        a = a[o] ^ (a >> 3)
+    return int(a[0])
+
+
+def _probe_rate(cpus: int) -> float:
+    import multiprocessing as mp
+
+    os.sched_setaffinity(0, set(range(cpus)))
+    try:
+        with mp.Pool(cpus) as p:
+            p.map(_probe_burn, range(cpus))
+            t0 = time.time()
+            p.map(_probe_burn, range(cpus, 3 * cpus))
+            return 2.0 / (time.time() - t0)
+    finally:
+        os.sched_setaffinity(0, set(range(os.cpu_count() or 32)))
+
+
+def _probe_ceiling(lo: int, hi: int) -> float:
+    """Quick per-proc memory-bandwidth ratio hi vs lo (the same argsort
+    control the workers bracket timed runs with)."""
+    return _probe_rate(hi) / _probe_rate(lo)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int,
@@ -183,6 +214,12 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=8,
                     help="small parallelism level (big = 4n)")
     ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--gate-ceiling", type=float, default=0.0,
+                    help="standby mode: before each timed round, wait "
+                    "until a host probe (N vs 4N argsort workers) shows "
+                    "at least this parallel ceiling")
+    ap.add_argument("--gate-timeout", type=float, default=2700.0,
+                    help="max seconds to wait per gated round")
     args = ap.parse_args()
     repo = os.path.dirname(os.path.abspath(__file__))
     ctl = "/tmp/lss_scaling_ctl"
@@ -218,6 +255,21 @@ def main() -> None:
 
     runs = {c: [] for c in levels}
     for r in range(args.rounds):
+        if args.gate_ceiling > 0:
+            # standby gating: both JVMs are warm and idle; fire this
+            # round's timed pair only when a fresh host probe shows the
+            # hypervisor can actually deliver the target ratio (good
+            # windows on this box last minutes — a cold-started run's
+            # warmup alone outlives them, so the gate moves the wait
+            # to BEFORE the timed walls instead of wasting them)
+            gate_deadline = time.time() + args.gate_timeout
+            while True:
+                c = _probe_ceiling(levels[0], levels[1])
+                print(json.dumps({"gate_probe": round(c, 3), "round": r}),
+                      flush=True)
+                if c >= args.gate_ceiling or time.time() > gate_deadline:
+                    break
+                time.sleep(90)
         for cpus in levels:          # alternate lo, hi within each round
             open(f"{ctl}/go_{cpus}_{r}", "w").write("1")
             done = f"{ctl}/done_{cpus}_{r}"
