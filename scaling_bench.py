@@ -264,13 +264,28 @@ def main() -> None:
             # to BEFORE the timed walls instead of wasting them)
             gate_deadline = time.time() + args.gate_timeout
             while True:
+                if os.path.exists(f"{ctl}/hold"):
+                    # operator is using the machine (tests, dev runs):
+                    # stand by without probing or firing; the deadline
+                    # keeps extending so a long hold can't force an
+                    # ungated round
+                    gate_deadline = time.time() + args.gate_timeout
+                    time.sleep(30)
+                    continue
                 c = _probe_ceiling(levels[0], levels[1])
                 print(json.dumps({"gate_probe": round(c, 3), "round": r}),
                       flush=True)
                 if c >= args.gate_ceiling or time.time() > gate_deadline:
                     break
                 time.sleep(90)
-        for cpus in levels:          # alternate lo, hi within each round
+        # hi leg FIRST: good windows last minutes, and the 4N leg is the
+        # one a collapsing window starves (the N leg fits under even a
+        # degraded ceiling) — repeated lo-first rounds measured the lo
+        # leg eating the window and the hi leg firing into its corpse.
+        # Per-leg host controls (host_ctl_pre/post, fault_ctl_gbps)
+        # bracket both legs so a pair straddling a window edge is
+        # visible in the artifact either way.
+        for cpus in reversed(levels):
             open(f"{ctl}/go_{cpus}_{r}", "w").write("1")
             done = f"{ctl}/done_{cpus}_{r}"
             while not os.path.exists(done):
