@@ -196,6 +196,11 @@ def _make_invert_fn(analyzer: str, norms: str, with_positions: bool,
     buffered (flush-by-RAM analog, FlushByRamOrCountsPolicy.java:58).
     """
     from ..analysis import analyze_field, vectorized_field_tokens
+
+    # measurement knob, resolved DRIVER-side at closure creation and
+    # shipped to workers in the closure: LSS_ASCII_FAST=0 forces the
+    # pandas tokenizer path for single-session A/B comparisons
+    ascii_fast = os.environ.get("LSS_ASCII_FAST", "1") != "0"
     from ..smallfloat import int_to_byte4_np
 
     all_cols = [c.strip().split()[0]
@@ -225,7 +230,7 @@ def _make_invert_fn(analyzer: str, norms: str, with_positions: bool,
             'standard'; non-vectorizable analyzers) run the per-doc
             analyze_field reference path — parity, not the hot path."""
             flat, kept_doc, kept_pos, lengths, fb = vectorized_field_tokens(
-                contents, fanalyzer, with_positions)
+                contents, fanalyzer, with_positions, prefix, ascii_fast)
             fb_rows: List[Tuple[int, dict]] = []
             for i in fb:
                 per_doc, length = analyze_field(contents.iloc[i], fanalyzer)
@@ -234,12 +239,10 @@ def _make_invert_fn(analyzer: str, norms: str, with_positions: bool,
             nb_doc = (int_to_byte4_np(lengths) if norms == "byte"
                       else lengths).astype(np.int64)
             if len(kept_doc):
-                terms = (
-                    (prefix + pd.Series(flat, dtype=object)).to_numpy()
-                    if prefix else flat
-                )
+                # prefixing happened at the vocab level inside
+                # vectorized_field_tokens — flat already carries it
                 vbufs.append((
-                    terms,
+                    flat,
                     doc_ids_arr[kept_doc],
                     kept_pos if with_positions else None,
                     nb_doc[kept_doc],
