@@ -528,21 +528,37 @@ def _ascii_fast_tokens(contents: "pd.Series", analyzer: str,
 
     nv = len(vocab)
     vkeep = np.ones(nv, np.bool_)
-    if analyzer in ("standard", "simple_stop"):
-        stop_arr = _stop_arrow_cache.get("stop")
-        if stop_arr is None:
-            stop_arr = pa.array(sorted(ENGLISH_STOP_WORDS), type=pa.string())
-            _stop_arrow_cache["stop"] = stop_arr
-        vkeep &= ~pc.is_in(vocab, value_set=stop_arr).to_numpy(
-            zero_copy_only=False)
-    if analyzer == "standard" or light:
-        vkeep &= pc.binary_length(vocab).to_numpy() <= MAX_TOKEN_LENGTH
-    vwords = vocab.to_pylist()
-    if analyzer == "porter" or light:
-        from .stem import LIGHT_STEMMERS, porter_stem
+    if analyzer == "english":
+        # EnglishAnalyzer chain at VOCAB level: maxlen on the raw token,
+        # possessive strip, then stop + empty on the stripped form, then
+        # Porter stem (EnglishAnalyzer.java:110-119)
+        from .stem import porter_stem, strip_possessive
 
-        stem = porter_stem if analyzer == "porter" else LIGHT_STEMMERS[analyzer]
-        vwords = [stem(w) for w in vwords]
+        vkeep &= pc.binary_length(vocab).to_numpy() <= MAX_TOKEN_LENGTH
+        stripped = [strip_possessive(w) for w in vocab.to_pylist()]
+        vkeep &= np.fromiter(
+            (bool(s) and s not in ENGLISH_STOP_WORDS for s in stripped),
+            np.bool_, count=nv)
+        vwords = [porter_stem(s) if k else s
+                  for s, k in zip(stripped, vkeep)]
+    else:
+        if analyzer in ("standard", "simple_stop"):
+            stop_arr = _stop_arrow_cache.get("stop")
+            if stop_arr is None:
+                stop_arr = pa.array(sorted(ENGLISH_STOP_WORDS),
+                                    type=pa.string())
+                _stop_arrow_cache["stop"] = stop_arr
+            vkeep &= ~pc.is_in(vocab, value_set=stop_arr).to_numpy(
+                zero_copy_only=False)
+        if analyzer == "standard" or light:
+            vkeep &= pc.binary_length(vocab).to_numpy() <= MAX_TOKEN_LENGTH
+        vwords = vocab.to_pylist()
+        if analyzer == "porter" or light:
+            from .stem import LIGHT_STEMMERS, porter_stem
+
+            stem = (porter_stem if analyzer == "porter"
+                    else LIGHT_STEMMERS[analyzer])
+            vwords = [stem(w) for w in vwords]
     if prefix:
         vwords = [prefix + w for w in vwords]
     vobj = np.array(vwords, dtype=object)
@@ -553,7 +569,7 @@ def _ascii_fast_tokens(contents: "pd.Series", analyzer: str,
     lengths = np.bincount(kept_doc, minlength=ndocs).astype(np.int64)
     pos = None
     if with_positions:
-        if analyzer == "standard" or light:
+        if analyzer in ("standard", "english") or light:
             # pre-filter positions: stop/overlong leave gaps
             pos = pre_pos[keep]
         else:
@@ -602,7 +618,7 @@ def vectorized_field_tokens(contents: "pd.Series", analyzer: str,
 
     light = analyzer in LIGHT_STEMMERS
     if analyzer not in ("standard", "simple", "simple_stop", "whitespace",
-                        "porter") and not light:
+                        "porter", "english") and not light:
         return (
             np.empty(0, dtype=object), np.empty(0, dtype=np.int64),
             (np.empty(0, dtype=np.int64) if with_positions else None),
@@ -613,10 +629,11 @@ def vectorized_field_tokens(contents: "pd.Series", analyzer: str,
                                   prefix, light)
         if fast is not None:
             return fast
-    if analyzer == "standard" or light:
+    if analyzer in ("standard", "english") or light:
         # docs whose lower() changes string length (rare Unicode) fall
         # back to the reference per-doc path for parity; the light
-        # chains share the standard Unicode tokenizer (no stop filter)
+        # chains share the standard Unicode tokenizer (no stop filter;
+        # english strips possessives then stops/stems below)
         low = contents.str.lower()
         fb_mask = (low.str.len() != contents.str.len()).to_numpy()
         tok_lists = low.str.findall(_TOKEN_RE)
@@ -645,13 +662,20 @@ def vectorized_field_tokens(contents: "pd.Series", analyzer: str,
         keep = ~tok_s.isin(ENGLISH_STOP_WORDS).to_numpy()
     else:
         keep = np.ones(total, dtype=bool)
-    if (analyzer == "standard" or light) and total:
+    if (analyzer in ("standard", "english") or light) and total:
         keep &= (tok_s.str.len() <= MAX_TOKEN_LENGTH).to_numpy()
+    if analyzer == "english" and total:
+        # EnglishPossessiveFilter then stop/empty on the stripped form
+        # (EnglishAnalyzer.java:110-119); maxlen above uses the RAW token
+        tok_s = tok_s.str.replace(r"['\u2019\u02bc]s$", "", regex=True)
+        keep &= (tok_s.str.len() > 0).to_numpy()
+        keep &= ~tok_s.isin(ENGLISH_STOP_WORDS).to_numpy()
+        flat = tok_s.to_numpy()
     kept_doc = docloc[keep].astype(np.int64)
     lengths = np.bincount(kept_doc, minlength=ndocs).astype(np.int64)
     pos = None
     if with_positions:
-        if analyzer == "standard" or light:
+        if analyzer in ("standard", "english") or light:
             # pre-filter positions: stop/overlong leave gaps
             pos = pre_pos[keep]
         else:
@@ -659,12 +683,13 @@ def vectorized_field_tokens(contents: "pd.Series", analyzer: str,
             koffs = np.cumsum(lengths) - lengths
             pos = (np.arange(len(kept_doc), dtype=np.int64) - koffs[kept_doc])
     out_terms = flat[keep]
-    if (analyzer == "porter" or light) and len(out_terms):
+    if (analyzer in ("porter", "english") or light) and len(out_terms):
         # stem the batch's DISTINCT terms, then broadcast back — the
         # Python cost is O(|batch vocab|), not O(|token stream|)
         from .stem import LIGHT_STEMMERS, porter_stem
 
-        stem = porter_stem if analyzer == "porter" else LIGHT_STEMMERS[analyzer]
+        stem = (porter_stem if analyzer in ("porter", "english")
+                else LIGHT_STEMMERS[analyzer])
         uniq, inv = np.unique(out_terms.astype("U"), return_inverse=True)
         stemmed = np.array([stem(u) for u in uniq], dtype=object)
         out_terms = stemmed[inv]

@@ -43,10 +43,13 @@ EDGE_CASES = [
     "1'2",
     "end.",
     "such that the their then",  # all stopwords
+    "john's car and JAMES'S dog",   # possessives (EnglishPossessiveFilter)
+    "the boys' toys s' 's",
+    "test’s xʼs unicode possessives",
 ]
 
 ANALYZERS = ["standard", "simple", "simple_stop", "whitespace", "porter",
-             "english_minimal", "french_light"]
+             "english", "english_minimal", "french_light"]
 
 
 def materialize(contents: pd.Series, analyzer: str, prefix: str = ""):
@@ -110,6 +113,29 @@ def test_gate_skips_non_ascii_heavy_batch():
     contents = pd.Series(["日本語テキスト"] * 90 + ["ascii text"] * 10)
     got = A._ascii_fast_tokens(contents, "standard", True, "", False)
     assert got is None  # pandas path vectorizes these better per-row
+
+
+@pytest.mark.parametrize("analyzer", ["standard", "english", "porter"])
+def test_vectorized_matches_per_doc_reference(analyzer):
+    """Both vectorized paths must equal the per-doc analyze_field
+    inversion — the ground truth the oracle uses."""
+    contents = pd.Series(EDGE_CASES, dtype=object).fillna("").astype(str)
+    for disable_fast in (False, True):
+        if disable_fast:
+            orig = A._ascii_fast_tokens
+            A._ascii_fast_tokens = lambda *a, **k: None
+        try:
+            docs, lens = materialize(contents, analyzer)
+        finally:
+            if disable_fast:
+                A._ascii_fast_tokens = orig
+        for i, text in enumerate(contents):
+            per, length = analyze_field(text, analyzer)
+            want = sorted(
+                [(t, p) for t, plist in per.items() for p in plist],
+                key=lambda x: (x[1], x[0]))
+            assert docs[i] == want, (analyzer, disable_fast, i, text)
+            assert lens[i] == length, (analyzer, disable_fast, i, text)
 
 
 def test_random_ascii_fuzz_parity():
