@@ -197,10 +197,19 @@ def _make_invert_fn(analyzer: str, norms: str, with_positions: bool,
     """
     from ..analysis import analyze_field, vectorized_field_tokens
 
-    # measurement knob, resolved DRIVER-side at closure creation and
-    # shipped to workers in the closure: LSS_ASCII_FAST=0 forces the
-    # pandas tokenizer path for single-session A/B comparisons
-    ascii_fast = os.environ.get("LSS_ASCII_FAST", "1") != "0"
+    # Tokenizer-path knob, resolved DRIVER-side at closure creation and
+    # shipped to workers in the closure. The byte-level ASCII tokenizer
+    # (analysis._ascii_fast_tokens) is ~2.6x faster per core than the
+    # regex path but trades instructions for memory traffic, so it
+    # inverts at high per-host concurrency: interleaved same-session
+    # A/B at local[32] on a 1.6M-doc corpus measured 31.8k docs/s
+    # (byte path) vs 67.1k docs/s (regex path) under a moderate host
+    # memory ceiling, while at 8-way the byte path wins ~1.3x
+    # end-to-end (BASELINE.md round 4). Default is therefore the
+    # bandwidth-lean regex path; set LSS_ASCII_FAST=1 on deployments
+    # with few cores per executor (4-8, the common cluster shape),
+    # where per-core bandwidth is plentiful and the byte path wins.
+    ascii_fast = os.environ.get("LSS_ASCII_FAST", "0") == "1"
     from ..smallfloat import int_to_byte4_np
 
     all_cols = [c.strip().split()[0]
