@@ -105,15 +105,17 @@ def burn(seed):
         a = a[o] ^ (a >> 3)
     return int(a[0])
 
-def host_control() -> float:
+def host_control(n: int = 0) -> float:
     # parallel memory-bound control: per-proc argsort rate (ops/s) with
-    # `cpus` concurrent workers — the flush kernel's resource profile.
-    # `burn` is module-top-level: mp.Pool pickles tasks by reference.
+    # `n` (default `cpus`) concurrent workers — the flush kernel's
+    # resource profile. `burn` is module-top-level: mp.Pool pickles
+    # tasks by reference.
     import multiprocessing as mp
-    with mp.Pool(cpus) as p:
-        p.map(burn, range(cpus))      # pool warm
+    n = n or cpus
+    with mp.Pool(n) as p:
+        p.map(burn, range(n))         # pool warm
         t0 = time.time()
-        p.map(burn, range(cpus, 3 * cpus))
+        p.map(burn, range(n, 3 * n))
         dt = time.time() - t0
     return 2.0 / dt                   # per-proc work units per second
 
@@ -162,13 +164,19 @@ for r in range(rounds):
     go = ctl + f"/go_{{cpus}}_{{r}}"
     while not os.path.exists(go):
         time.sleep(0.5)
-    c0 = host_control()
-    f0 = fault_control()
+    # pre-control runs MILD (8-proc): this hypervisor throttles by
+    # recent usage with a ~30-60s recovery (BASELINE.md round 4), so a
+    # full-width burst here would spend the very window the timed build
+    # is about to measure; an 8-proc rate still indexes the window
+    # (healthy ~3.1, collapsed <2) and is comparable across levels.
+    # The full-width control and the fault storm run AFTER the wall.
+    c0 = host_control(8 if cpus > 8 else cpus)
     wall = timed_build(r)
     c1 = host_control()
+    f0 = fault_control()
     res = {{"cpus": cpus, "docs": docs, "round": r, "wall_s": round(wall, 2),
             "docs_per_sec": round(docs / wall, 2),
-            "host_ctl_pre": round(c0, 4), "host_ctl_post": round(c1, 4),
+            "host_ctl_pre8": round(c0, 4), "host_ctl_post": round(c1, 4),
             "fault_ctl_gbps": round(f0, 2)}}
     with open(ctl + f"/done_{{cpus}}_{{r}}", "w") as f:
         json.dump(res, f)
@@ -276,13 +284,21 @@ def main() -> None:
                 print(json.dumps({"gate_probe": round(c, 3), "round": r}),
                       flush=True)
                 if c >= args.gate_ceiling or time.time() > gate_deadline:
+                    # the probe itself is a full-width burst, and this
+                    # hypervisor throttles by RECENT USAGE (measured
+                    # recovery ~30-60s, BASELINE.md round 4): firing the
+                    # hi leg immediately after the probe repeatedly put
+                    # the leg inside the probe's own throttle shadow
+                    # (probe 0.86-0.92 -> in-leg controls 0.62-0.71).
+                    # Cool down past the recovery constant, then fire.
+                    time.sleep(50)
                     break
                 time.sleep(90)
         # hi leg FIRST: good windows last minutes, and the 4N leg is the
         # one a collapsing window starves (the N leg fits under even a
         # degraded ceiling) — repeated lo-first rounds measured the lo
         # leg eating the window and the hi leg firing into its corpse.
-        # Per-leg host controls (host_ctl_pre/post, fault_ctl_gbps)
+        # Per-leg host controls (host_ctl_pre8/post, fault_ctl_gbps)
         # bracket both legs so a pair straddling a window edge is
         # visible in the artifact either way.
         for cpus in reversed(levels):
@@ -311,9 +327,11 @@ def main() -> None:
     ]
     # same-window host ceiling: per-proc control rate at 4N relative to
     # at N (1.0 = every proc owns a core's worth of memory bandwidth).
-    # The engine cannot out-scale this number on this host.
-    ctl_lo = max(r["host_ctl_pre"] for r in runs[levels[0]])
-    ctl_hi = max(r["host_ctl_pre"] for r in runs[levels[1]])
+    # The engine cannot out-scale this number on this host. Uses the
+    # POST controls (full-width); the pre-control is deliberately mild
+    # (8-proc) to avoid spending the window before the timed wall.
+    ctl_lo = max(r["host_ctl_post"] for r in runs[levels[0]])
+    ctl_hi = max(r["host_ctl_post"] for r in runs[levels[1]])
     host_ceiling = round(ctl_hi / ctl_lo, 3) if ctl_lo else None
     # aggregate fresh-page fault rate at 4N relative to N (1.0 would be
     # linear fault scaling; this hypervisor typically shows <0.1 at 32)
