@@ -209,10 +209,18 @@ def _probe_rate(cpus: int) -> float:
         os.sched_setaffinity(0, set(range(os.cpu_count() or 32)))
 
 
-def _probe_ceiling(lo: int, hi: int) -> float:
-    """Quick per-proc memory-bandwidth ratio hi vs lo (the same argsort
-    control the workers bracket timed runs with)."""
-    return _probe_rate(hi) / _probe_rate(lo)
+def _probe_ceiling(lo: int, hi: int):
+    """Quick (ratio, lo_rate): per-proc memory-bandwidth ratio hi vs lo
+    plus the ABSOLUTE lo-level per-proc rate (healthy ~3.1 on this box,
+    collapsed <2.5). Both matter: in a uniformly collapsed window the
+    ratio tends to 1.0 (both rates equally starved), so ratio alone
+    fires into dead windows. lo runs FIRST: an 8-proc burst casts only
+    a mild throttle shadow, so the hi reading is biased slightly LOW —
+    conservative (the hi-first order inflated ratios past 1.0 by
+    measuring lo inside the 32-proc burst's shadow)."""
+    lo_rate = _probe_rate(lo)
+    hi_rate = _probe_rate(hi)
+    return (hi_rate / lo_rate if lo_rate else 0.0), lo_rate
 
 
 def main() -> None:
@@ -280,10 +288,12 @@ def main() -> None:
                     gate_deadline = time.time() + args.gate_timeout
                     time.sleep(30)
                     continue
-                c = _probe_ceiling(levels[0], levels[1])
-                print(json.dumps({"gate_probe": round(c, 3), "round": r}),
-                      flush=True)
-                if c >= args.gate_ceiling or time.time() > gate_deadline:
+                c, lo_rate = _probe_ceiling(levels[0], levels[1])
+                print(json.dumps({"gate_probe": round(c, 3),
+                                  "gate_lo_rate": round(lo_rate, 3),
+                                  "round": r}), flush=True)
+                healthy = c >= args.gate_ceiling and lo_rate >= 2.8
+                if healthy or time.time() > gate_deadline:
                     # the probe itself is a full-width burst, and this
                     # hypervisor throttles by RECENT USAGE (measured
                     # recovery ~30-60s, BASELINE.md round 4): firing the
