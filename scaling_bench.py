@@ -209,6 +209,30 @@ def _probe_rate(cpus: int) -> float:
         os.sched_setaffinity(0, set(range(os.cpu_count() or 32)))
 
 
+def _probe_fault_touch(n):
+    import mmap
+    t0 = time.time()
+    m = mmap.mmap(-1, n)
+    for i in range(0, n, 4096):
+        m[i] = 1
+    dt = time.time() - t0
+    m.close()
+    return n / (1 << 30) / dt
+
+
+def _probe_fault_rate() -> float:
+    """Mild (8-proc x 128MB) fresh-page population throughput, GB/s.
+    The host's fault channel collapses INDEPENDENTLY of its steady-state
+    bandwidth channel (observed: argsort ctl 2.9 healthy while the
+    fault channel ran 0.95 GB/s and gated a 32-way build at 29.6k
+    docs/s); a build allocates fresh pages (shuffle, parquet buffers),
+    so both channels must be healthy for a timed round to mean
+    anything. Healthy here: >= ~10 GB/s aggregate at 8-way."""
+    import multiprocessing as mp
+    with mp.Pool(8) as p:
+        return sum(p.map(_probe_fault_touch, [128 << 20] * 8))
+
+
 def _probe_ceiling(lo: int, hi: int):
     """Quick (ratio, lo_rate): per-proc memory-bandwidth ratio hi vs lo
     plus the ABSOLUTE lo-level per-proc rate (healthy ~3.1 on this box,
@@ -289,10 +313,13 @@ def main() -> None:
                     time.sleep(30)
                     continue
                 c, lo_rate = _probe_ceiling(levels[0], levels[1])
+                flt = _probe_fault_rate()
                 print(json.dumps({"gate_probe": round(c, 3),
                                   "gate_lo_rate": round(lo_rate, 3),
+                                  "gate_fault_gbps": round(flt, 2),
                                   "round": r}), flush=True)
-                healthy = c >= args.gate_ceiling and lo_rate >= 2.8
+                healthy = (c >= args.gate_ceiling and lo_rate >= 2.8
+                           and flt >= 10.0)
                 if healthy or time.time() > gate_deadline:
                     # the probe itself is a full-width burst, and this
                     # hypervisor throttles by RECENT USAGE (measured
