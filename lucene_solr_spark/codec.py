@@ -176,33 +176,80 @@ def decode_posting_list(blob: bytes) -> Tuple[np.ndarray, np.ndarray]:
 # term: FOR-packed (doc deltas from base_doc, tfs, norm bytes).
 # ---------------------------------------------------------------------------
 
+# has_pos header flag values (byte 8 of every blob):
+#   0 = block has no positions
+#   1 = positions inline, FOR section appended after norms (old format)
+#   2 = positions external, in the block row's separate `pblob` column
+# The split (2) is the Lucene .doc/.pos file separation restated as
+# parquet COLUMNS (codecs/lucene90/Lucene90PostingsFormat.java doc/pos
+# files): term/boolean/WAND paths select (term, blob) only, so column
+# pruning keeps position bytes out of the scan, the Arrow transfer and
+# the Python decode on every non-positional query.
+POS_NONE, POS_INLINE, POS_SPLIT = 0, 1, 2
+
+
+def _encode_pos_deltas(tfs: np.ndarray, positions: np.ndarray) -> bytes:
+    """FOR section of per-posting-delta positions (first position of
+    each posting absolute, rest deltas)."""
+    pos = np.asarray(positions, dtype=np.int64)
+    d = np.diff(pos, prepend=0)
+    starts = np.zeros(len(pos), dtype=bool)
+    starts[np.cumsum(np.asarray(tfs, dtype=np.int64))[:-1]] = True
+    starts[0] = True
+    d = np.where(starts, pos, d).astype(np.uint64)
+    return for_encode(d)
+
+
+def _decode_pos_deltas(d: np.ndarray, tfs_i: np.ndarray) -> np.ndarray:
+    """Invert the per-posting delta encoding (vectorized segmented
+    cumsum; see decode_block_positions)."""
+    starts = np.zeros(len(d), dtype=bool)
+    if len(d):
+        starts[0] = True
+        starts[np.cumsum(tfs_i)[:-1]] = True
+    g = np.cumsum(d)
+    seg_base = np.maximum.accumulate(np.where(starts, g - d, -(2**62)))
+    return g - seg_base
+
+
+def decode_pos_blob(pblob: bytes, tfs_i: np.ndarray) -> np.ndarray:
+    """Positions from a split-format position column value (`pblob`),
+    given the block's decoded tf array."""
+    pd_, _ = for_decode(pblob, 0)
+    return _decode_pos_deltas(pd_.astype(np.int64), tfs_i)
+
+
 def encode_block(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     norm_bytes: np.ndarray,
     positions: np.ndarray | None = None,
-) -> bytes:
+    split_pos: bool = False,
+):
     """positions: flat concatenation of each posting's sorted positions
-    (len == sum(tfs)); stored delta-encoded within each posting."""
+    (len == sum(tfs)); stored delta-encoded within each posting.
+
+    split_pos=False -> bytes (positions inline, old format).
+    split_pos=True  -> (blob, pblob) with positions in pblob (None when
+    the block has no positions)."""
     base = int(doc_ids[0])
     deltas = np.diff(np.asarray(doc_ids, dtype=np.int64), prepend=base).astype(np.uint64)
+    if positions is None:
+        hp = POS_NONE
+    else:
+        hp = POS_SPLIT if split_pos else POS_INLINE
     out = (
-        struct.pack("<qB", base, 1 if positions is not None else 0)
+        struct.pack("<qB", base, hp)
         + for_encode(deltas)
         + for_encode(np.asarray(tfs, dtype=np.uint64))
         + for_encode(np.asarray(norm_bytes, dtype=np.uint64))
     )
-    if positions is not None:
-        pos = np.asarray(positions, dtype=np.int64)
-        # delta within each posting: subtract previous position, reset at
-        # posting starts (first position of each posting stays absolute)
-        d = np.diff(pos, prepend=0)
-        starts = np.zeros(len(pos), dtype=bool)
-        starts[np.cumsum(np.asarray(tfs, dtype=np.int64))[:-1]] = True
-        starts[0] = True
-        d = np.where(starts, pos, d).astype(np.uint64)
-        out += for_encode(d)
-    return out
+    if positions is None:
+        return (out, None) if split_pos else out
+    sec = _encode_pos_deltas(tfs, positions)
+    if split_pos:
+        return out, sec
+    return out + sec
 
 
 def decode_block(blob: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -217,9 +264,13 @@ def decode_block(blob: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     return doc_ids, tfs.astype(np.int64), norms.astype(np.int64)
 
 
-def decode_block_positions(blob: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+def decode_block_positions(
+    blob: bytes, pblob: bytes | None = None
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Like decode_block but also returns the flat positions array
-    (empty if the block was written without positions)."""
+    (empty if the block was written without positions). Split-format
+    blocks (has_pos == POS_SPLIT) carry positions in the separate
+    `pblob` column value, which the caller must pass."""
     (base, has_pos) = struct.unpack_from("<qB", blob, 0)
     off = 9
     deltas, used = for_decode(blob, off)
@@ -230,21 +281,21 @@ def decode_block_positions(blob: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndar
     off += used
     doc_ids = base + np.cumsum(deltas.astype(np.int64))
     tfs_i = tfs.astype(np.int64)
-    if not has_pos:
+    if has_pos == POS_NONE:
         return doc_ids, tfs_i, norms.astype(np.int64), np.array([], dtype=np.int64)
-    pd_, used = for_decode(blob, off)
+    if has_pos == POS_SPLIT:
+        if pblob is None:
+            raise ValueError(
+                "split-format block: positions live in the pblob column, "
+                "which the caller did not select/pass"
+            )
+        pd_, _ = for_decode(pblob, 0)
+    else:  # POS_INLINE
+        pd_, used = for_decode(blob, off)
     d = pd_.astype(np.int64)
     # invert the per-posting delta encoding: cumsum within posting spans
-    starts = np.zeros(len(d), dtype=bool)
-    if len(d):
-        starts[0] = True
-        starts[np.cumsum(tfs_i)[:-1]] = True
-    # vectorized segmented cumsum: pos = cumsum(d) - (cumsum before the
-    # posting's start). (g-d) at starts is monotone, so max-accumulate
-    # broadcasts each posting's base forward.
-    g = np.cumsum(d)
-    seg_base = np.maximum.accumulate(np.where(starts, g - d, -(2**62)))
-    return doc_ids, tfs_i, norms.astype(np.int64), g - seg_base
+    # (vectorized segmented cumsum — see _decode_pos_deltas)
+    return doc_ids, tfs_i, norms.astype(np.int64), _decode_pos_deltas(d, tfs_i)
 
 
 def _bit_width_u64(v: np.ndarray) -> np.ndarray:
@@ -419,6 +470,7 @@ def split_blocks_batch(
     term_last: np.ndarray,
     positions: np.ndarray | None = None,
     block_size: int = BLOCK_SIZE,
+    split_pos: bool = False,
 ) -> dict:
     """Vectorized split_blocks over MANY terms at once.
 
@@ -438,11 +490,14 @@ def split_blocks_batch(
     """
     nruns = len(run_doc)
     if nruns == 0:
-        return {k: np.array([], dtype=object if k in ("blob", "imp_tf", "imp_norm")
+        keys = ["term_idx", "block_ord", "n", "min_doc", "max_doc",
+                "max_tf", "sum_tf", "min_norm", "imp_tf", "imp_norm", "blob"]
+        if split_pos:
+            keys.append("pblob")
+        return {k: np.array([], dtype=object if k in ("blob", "pblob",
+                                                      "imp_tf", "imp_norm")
                              else np.int64)
-                for k in ("term_idx", "block_ord", "n", "min_doc", "max_doc",
-                          "max_tf", "sum_tf", "min_norm", "imp_tf", "imp_norm",
-                          "blob")}
+                for k in keys}
     term_first = np.asarray(term_first, dtype=np.int64)
     term_last = np.asarray(term_last, dtype=np.int64)
     nterms = len(term_first)
@@ -478,16 +533,44 @@ def split_blocks_batch(
         s_pos = for_encode_batch(pd_.astype(np.uint64), pos_counts)
     nblocks = len(blk_start)
     blobs = np.empty(nblocks, dtype=object)
-    hp = 1 if has_pos else 0
-    if has_pos:
+    pblobs = np.empty(nblocks, dtype=object) if split_pos else None
+    if not has_pos:
+        hp = POS_NONE
+    elif split_pos:
+        hp = POS_SPLIT
+    else:
+        hp = POS_INLINE
+    if has_pos and split_pos:
+        for i in range(nblocks):
+            blobs[i] = struct.pack("<qB", int(base[i]), hp) \
+                + s_doc[i] + s_tf[i] + s_nb[i]
+            pblobs[i] = s_pos[i]
+    elif has_pos:
         for i in range(nblocks):
             blobs[i] = struct.pack("<qB", int(base[i]), hp) \
                 + s_doc[i] + s_tf[i] + s_nb[i] + s_pos[i]
     else:
+        if split_pos:
+            pblobs[:] = None
         for i in range(nblocks):
             blobs[i] = struct.pack("<qB", int(base[i]), hp) \
                 + s_doc[i] + s_tf[i] + s_nb[i]
     imp_tf, imp_nb = block_impacts(run_tf, run_nb, blk_start, blk_end)
+    if split_pos:
+        return {
+            "term_idx": term_of_run[blk_start],
+            "block_ord": local[blk_start] // block_size,
+            "n": blk_n,
+            "min_doc": base,
+            "max_doc": run_doc[blk_end - 1],
+            "max_tf": np.maximum.reduceat(np.asarray(run_tf, dtype=np.int64), blk_start),
+            "sum_tf": np.add.reduceat(np.asarray(run_tf, dtype=np.int64), blk_start),
+            "min_norm": np.minimum.reduceat(np.asarray(run_nb, dtype=np.int64), blk_start),
+            "imp_tf": imp_tf,
+            "imp_norm": imp_nb,
+            "blob": blobs,
+            "pblob": pblobs,
+        }
     return {
         "term_idx": term_of_run[blk_start],
         "block_ord": local[blk_start] // block_size,
@@ -510,11 +593,14 @@ def split_blocks(
     lengths: np.ndarray,
     positions: np.ndarray | None = None,
     block_size: int = BLOCK_SIZE,
+    split_pos: bool = False,
 ) -> List[dict]:
     """Split one term's sorted postings into block rows with WAND metadata.
 
     positions: flat concat of each posting's sorted positions (len ==
-    sum(tfs)), or None to omit positions from the blocks.
+    sum(tfs)), or None to omit positions from the blocks. split_pos
+    adds a `pblob` entry holding the position section (None if no
+    positions) and keeps `blob` position-free.
     """
     out = []
     n = len(doc_ids)
@@ -527,18 +613,20 @@ def split_blocks(
             p = positions[pos_offsets[lo] : pos_offsets[hi]]
         itf, inb = block_impacts(
             np.asarray(f), np.asarray(nb), np.array([0]), np.array([hi - lo]))
-        out.append(
-            {
-                "block_ord": lo // block_size,
-                "n": hi - lo,
-                "min_doc": int(d[0]),
-                "max_doc": int(d[-1]),
-                "max_tf": int(f.max()),
-                "sum_tf": int(f.sum()),
-                "min_norm": int(nb[int(np.argmin(ln))]),
-                "imp_tf": itf[0],
-                "imp_norm": inb[0],
-                "blob": encode_block(d, f, nb, p),
-            }
-        )
+        row = {
+            "block_ord": lo // block_size,
+            "n": hi - lo,
+            "min_doc": int(d[0]),
+            "max_doc": int(d[-1]),
+            "max_tf": int(f.max()),
+            "sum_tf": int(f.sum()),
+            "min_norm": int(nb[int(np.argmin(ln))]),
+            "imp_tf": itf[0],
+            "imp_norm": inb[0],
+        }
+        if split_pos:
+            row["blob"], row["pblob"] = encode_block(d, f, nb, p, split_pos=True)
+        else:
+            row["blob"] = encode_block(d, f, nb, p)
+        out.append(row)
     return out

@@ -49,7 +49,7 @@ from .manifest import Manifest, ManifestStore, SegmentInfo
 POSTINGS_SCHEMA = (
     "term string, n int, min_doc long, max_doc long, max_tf int, "
     "sum_tf long, min_norm int, imp_tf array<int>, imp_norm array<int>, "
-    "blob binary"
+    "blob binary, pblob binary"
 )
 
 # one UDF pass emits BOTH postings blocks and doc metadata (discriminated
@@ -161,7 +161,7 @@ def _pack_partition(batches: Iterator[pd.DataFrame], with_positions: bool) -> It
     term_last = np.append(term_first[1:], len(run_start))
 
     res = split_blocks_batch(run_doc, run_tf, run_norm, term_first, term_last,
-                             positions=pos)
+                             positions=pos, split_pos=True)
     nblocks = len(res["n"])
     if not nblocks:
         return
@@ -169,7 +169,7 @@ def _pack_partition(batches: Iterator[pd.DataFrame], with_positions: bool) -> It
     cols = {"term": term_names,
             **{k: res[k] for k in ("n", "min_doc", "max_doc", "max_tf",
                                    "sum_tf", "min_norm", "imp_tf",
-                                   "imp_norm", "blob")}}
+                                   "imp_norm", "blob", "pblob")}}
     # chunk the output so downstream Arrow batches stay bounded
     for lo in range(0, nblocks, 65536):
         yield pd.DataFrame({k: v[lo:lo + 65536] for k, v in cols.items()})
@@ -331,7 +331,7 @@ def _make_invert_fn(analyzer: str, norms: str, with_positions: bool,
                 term_last = np.append(term_first[1:], len(run_start))
                 res = split_blocks_batch(run_doc, run_tf, run_nb,
                                          term_first, term_last,
-                                         positions=Ps)
+                                         positions=Ps, split_pos=True)
                 if len(res["n"]):
                     term_names = np.asarray(uniques, dtype=object)[
                         Ts[run_start[term_first]]][res["term_idx"]]
@@ -340,7 +340,7 @@ def _make_invert_fn(analyzer: str, norms: str, with_positions: bool,
                         **{k: res[k] for k in ("n", "min_doc", "max_doc",
                                                "max_tf", "sum_tf",
                                                "min_norm", "imp_tf",
-                                               "imp_norm", "blob")},
+                                               "imp_norm", "blob", "pblob")},
                     })
             vbufs = []
             n_buffered = 0

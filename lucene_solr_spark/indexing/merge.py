@@ -188,7 +188,11 @@ def _merge_data(spark, store: ManifestStore, inputs: List[SegmentInfo],
     out_dir = store.segment_dir(name)
     in_dirs = [store.segment_dir(s.name) for s in inputs]
 
-    blocks = spark.read.parquet(*[postings_path(d) for d in in_dirs])
+    # mergeSchema: inputs may straddle the inline-positions -> split
+    # pblob-column format change (an index appended across versions);
+    # the union schema keeps pblob, null-filled for old segments
+    blocks = (spark.read.option("mergeSchema", "true")
+              .parquet(*[postings_path(d) for d in in_dirs]))
     has_positions = _segment_has_positions(spark, in_dirs[0])
     from .deletes import deleted_docs_df, delete_generations
 
@@ -201,8 +205,11 @@ def _merge_data(spark, store: ManifestStore, inputs: List[SegmentInfo],
     def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             cols = {"term": [], "doc_id": [], "norm": [], "tf": [], "pos_blob": []}
-            for term, blob in zip(pdf["term"], pdf["blob"]):
-                d, f, nb, pos = decode_block_positions(bytes(blob))
+            pbs = (pdf["pblob"] if "pblob" in pdf.columns
+                   else pd.Series([None] * len(pdf)))
+            for term, blob, pb in zip(pdf["term"], pdf["blob"], pbs):
+                d, f, nb, pos = decode_block_positions(
+                    bytes(blob), None if pb is None else bytes(pb))
                 cols["term"].append(np.full(len(d), term, dtype=object))
                 cols["doc_id"].append(d)
                 cols["norm"].append(nb)
@@ -318,14 +325,14 @@ def _repack_aggregated(batches: Iterator[pd.DataFrame], with_positions: bool) ->
             pdf["doc_id"].to_numpy(dtype=np.int64),
             pdf["tf"].to_numpy(dtype=np.int64),
             pdf["norm"].to_numpy(dtype=np.int64),
-            term_first, term_last, positions=P)
+            term_first, term_last, positions=P, split_pos=True)
         nblocks = len(res["n"])
         if not nblocks:
             return
         cols = {"term": terms[term_first][res["term_idx"]],
                 **{k: res[k] for k in ("n", "min_doc", "max_doc", "max_tf",
                                        "sum_tf", "min_norm", "imp_tf",
-                                       "imp_norm", "blob")}}
+                                       "imp_norm", "blob", "pblob")}}
         for lo in range(0, nblocks, 65536):
             yield pd.DataFrame({k: v[lo:lo + 65536] for k, v in cols.items()})
 
@@ -365,7 +372,8 @@ def _segment_has_positions(spark, seg_dir: str) -> bool:
     row = spark.read.parquet(postings_path(seg_dir)).select("blob").head(1)
     if not row:
         return False
-    return bytes(row[0]["blob"])[8] == 1
+    # 1 = inline positions (old format), 2 = split pblob column
+    return bytes(row[0]["blob"])[8] in (1, 2)
 
 
 def maybe_merge(spark, index_dir: str, max_rounds: int = 100) -> Manifest:

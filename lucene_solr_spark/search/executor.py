@@ -47,6 +47,24 @@ import pandas as pd
 
 from .. import bm25
 from ..codec import decode_block, decode_block_positions
+
+
+def _pos_cols(df) -> list:
+    """Column list for a positions-consuming decode over a blocks frame:
+    split-format segments carry positions in `pblob`; pre-split frames
+    have no such column (positions inline in blob)."""
+    return ["term", "blob", "pblob"] if "pblob" in df.columns else ["term", "blob"]
+
+
+def _zip_blocks_pos(pdf: pd.DataFrame):
+    """Iterate (term, blob, pblob_bytes_or_None) over a decode batch,
+    tolerating both block formats."""
+    if "pblob" in pdf.columns:
+        for term, blob, pb in zip(pdf["term"], pdf["blob"], pdf["pblob"]):
+            yield term, blob, (None if pb is None else bytes(pb))
+    else:
+        for term, blob in zip(pdf["term"], pdf["blob"]):
+            yield term, blob, None
 from ..fields import FIELD_SEP, split_term_key, term_key
 from ..smallfloat import LENGTH_TABLE
 from ..indexing.deletes import delete_generations, deleted_docs_df
@@ -85,7 +103,11 @@ class IndexReader:
         self.doc_count = self.manifest.total_docs
         self.sum_dl = self.manifest.sum_dl
         segs = [self.store.segment_dir(s.name) for s in self.manifest.segments]
-        self.blocks = spark.read.parquet(*[postings_path(d) for d in segs])
+        # mergeSchema: segments may straddle the inline-positions ->
+        # split-pblob format change (index appended across versions);
+        # old segments read pblob as null
+        self.blocks = (spark.read.option("mergeSchema", "true")
+                       .parquet(*[postings_path(d) for d in segs]))
         self.stats = spark.read.parquet(*[f"{d}/term_stats.parquet" for d in segs])
         self.doc_meta = spark.read.parquet(*[doc_meta_path(d) for d in segs])
         # liveDocs: tombstones filter matches at collect time; stats
@@ -577,8 +599,9 @@ class Searcher:
             # 200k-doc bench phrase "def class").
             for pdf in batches:
                 cols_doc, cols_ti, cols_nb, cols_parr = [], [], [], []
-                for term, blob in zip(pdf["term"], pdf["blob"]):
-                    doc_ids, tfs, norms, pos = decode_block_positions(bytes(blob))
+                for term, blob, pb in _zip_blocks_pos(pdf):
+                    doc_ids, tfs, norms, pos = decode_block_positions(
+                        bytes(blob), pb)
                     if len(doc_ids) == 0:
                         continue
                     split = np.split(pos.astype(np.int32, copy=False),
@@ -614,7 +637,7 @@ class Searcher:
             blocks_src = self.reader.blocks.where(F.col("term").isin(terms))
         occ = (
             blocks_src
-            .select("term", "blob")
+            .select(*_pos_cols(blocks_src))
             .mapInPandas(decode_pos, "doc_id long, tidx int, norm int, parr array<int>")
         )
         # ONE shuffle: gather each doc's pre-built per-slot position
@@ -701,8 +724,9 @@ class Searcher:
         def decode_pos(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 cols_doc, cols_term, cols_nb, cols_pos = [], [], [], []
-                for term, blob in zip(pdf["term"], pdf["blob"]):
-                    doc_ids, tfs, norms, pos = decode_block_positions(bytes(blob))
+                for term, blob, pb in _zip_blocks_pos(pdf):
+                    doc_ids, tfs, norms, pos = decode_block_positions(
+                        bytes(blob), pb)
                     cols_doc.append(np.repeat(doc_ids, tfs))
                     cols_nb.append(np.repeat(norms, tfs))
                     cols_term.append(np.full(len(pos), term, dtype=object))
@@ -719,7 +743,7 @@ class Searcher:
 
         return (
             self.reader.blocks.where(F.col("term").isin(sorted(set(term_keys))))
-            .select("term", "blob")
+            .select(*_pos_cols(self.reader.blocks))
             .mapInPandas(decode_pos, "doc_id long, term string, norm int, pos long")
         )
 
@@ -747,8 +771,9 @@ class Searcher:
         def decode_pos(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 cols_doc, cols_term, cols_nb, cols_parr = [], [], [], []
-                for term, blob in zip(pdf["term"], pdf["blob"]):
-                    doc_ids, tfs, norms, pos = decode_block_positions(bytes(blob))
+                for term, blob, pb in _zip_blocks_pos(pdf):
+                    doc_ids, tfs, norms, pos = decode_block_positions(
+                        bytes(blob), pb)
                     if len(doc_ids) == 0:
                         continue
                     cols_doc.append(doc_ids)
@@ -769,7 +794,7 @@ class Searcher:
 
         return (
             self.reader.blocks.where(F.col("term").isin(sorted(set(term_keys))))
-            .select("term", "blob")
+            .select(*_pos_cols(self.reader.blocks))
             .mapInPandas(decode_pos,
                          "doc_id long, term string, norm int, parr array<long>")
         )
@@ -1262,8 +1287,16 @@ class Searcher:
 
         MAX_CHUNKS_PER_BLOCK = 4096  # cap the sequence explosion
 
+        # pblob rides along when present: the phrase path decodes
+        # positions from the pruned frame (downstream selects prune it
+        # back out for non-positional consumers, so blob-only paths
+        # still scan doc sections alone)
+        base_cols = ["term", "n", "min_doc", "max_doc", "max_tf", "sum_tf",
+                     "min_norm", "blob"]
+        if "pblob" in self.reader.blocks.columns:
+            base_cols.append("pblob")
         blocks = self.reader.blocks.where(F.col("term").isin(all_terms)).select(
-            "term", "n", "min_doc", "max_doc", "max_tf", "sum_tf", "min_norm", "blob"
+            *base_cols
         )
         span_chunks = (
             F.shiftright("max_doc", CHUNK_BITS) - F.shiftright("min_doc", CHUNK_BITS) + 1
