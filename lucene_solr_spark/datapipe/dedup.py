@@ -323,7 +323,12 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
         .union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         # edges join into EVERY round: without this persist the whole
         # upstream pair-discovery pipeline (tokenize + fingerprint +
-        # band join) would re-execute per round
+        # band join) would re-execute per round. Repartitioned on the
+        # join key BEFORE the persist: the cached plan's hash
+        # partitioning satisfies each round's join requirement, so the
+        # edge table is shuffled exactly once for the whole loop
+        # (per-round exchanges then move only the label frame).
+        .repartition("src")
         .persist()
     )
     try:
@@ -347,7 +352,9 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
                 labels.union(nbr)
                 .groupBy("doc_id")
                 .agg(F.min("component").alias("component"))
-                .localCheckpoint(eager=True)
+                # lazy: the convergence sum right below materializes the
+                # checkpoint — one job wave per round instead of two
+                .localCheckpoint(eager=False)
             )
             cur = labels.agg(F.sum("component")).collect()[0][0]
             if cur == prev_sum:

@@ -12,13 +12,15 @@ Reference:
 
 Spark-first restatement: a frontier DataFrame expanded by one join per
 level — the same shape the reference's per-level /export joins take,
-but distributed: each level is ONE hash join on the edge key + an
-anti-join against the visited set (gather) or an array-containment
-cycle filter (paths). Lineage is truncated per level with
-localCheckpoint, like datapipe.dedup.connected_components. At 100 TB
-the frontier and visited sets shuffle on node id only (never the edge
-payload), edges persist once, and each level is one scheduler wave —
-BFS depth is bounded by maxDepth exactly as in the reference.
+but distributed. Frontier and visited sets are materialized per level
+(localCheckpoint: flat lineage, known sizes), and every level's
+cardinality is tracked on the driver, so the per-level join runs
+map-side (broadcast hash join, the persisted edge table is never
+re-shuffled) while the frontier fits the broadcast budget and falls
+back to a shuffled hash join only when a level genuinely outgrows it —
+at 100 TB a BFS level can be billions of nodes, and the fallback
+shuffles node ids only (never the edge payload). BFS depth is bounded
+by maxDepth exactly as in the reference.
 """
 
 from __future__ import annotations
@@ -26,6 +28,16 @@ from __future__ import annotations
 from typing import List, Sequence
 
 from pyspark.sql import DataFrame, functions as F
+
+# Frontier/visited sets at or below this many rows join as a broadcast
+# (map-side) hash join; above it, fall back to a shuffled join. Node
+# ids are short strings: 1M rows is a few tens of MB broadcast — well
+# under Spark's 8GB hard cap and safe for executor memory.
+BROADCAST_NODE_LIMIT = 1_000_000
+
+
+def _maybe_broadcast(df: DataFrame, n: int) -> DataFrame:
+    return F.broadcast(df) if n <= BROADCAST_NODE_LIMIT else df
 
 
 def gather_nodes(edges: DataFrame, roots: Sequence[str],
@@ -46,16 +58,25 @@ def gather_nodes(edges: DataFrame, roots: Sequence[str],
             .localCheckpoint(eager=True)
         )
         frontier = visited.select("node")
+        frontier_n = len(roots)
+        visited_n = frontier_n
         for lvl in range(1, levels + 1):
+            fr = _maybe_broadcast(frontier, frontier_n)
             nxt = (
-                edges.join(frontier, edges["src"] == frontier["node"])
+                edges.join(fr, edges["src"] == fr["node"])
                 .select(F.col("dst").alias("node")).distinct()
-                .join(visited.select("node"), "node", "left_anti")
+                .join(_maybe_broadcast(visited.select("node"), visited_n),
+                      "node", "left_anti")
             )
             nxt = nxt.select("node", F.lit(lvl).alias("level"))
-            visited = visited.union(nxt).localCheckpoint(eager=True)
+            # lazy: the count below materializes the checkpoint in the
+            # same job wave
+            visited = visited.union(nxt).localCheckpoint(eager=False)
+            new_n = visited.count()
             frontier = visited.where(F.col("level") == lvl).select("node")
-            if not frontier.take(1):
+            frontier_n = new_n - visited_n
+            visited_n = new_n
+            if frontier_n == 0:
                 break
         return visited
     finally:
@@ -85,6 +106,11 @@ def shortest_paths(edges: DataFrame, src: str, dst: str,
          (number of shortest-path edges), not to the forward fan-out
          (a forward path-enumerating BFS was measured 10x slower on
          the dense bipartite bench graph).
+
+    Both phases broadcast the frontier/level sets while they fit
+    BROADCAST_NODE_LIMIT (driver-tracked counts from the per-level
+    checkpoints), so the persisted edge table is read map-side and
+    never re-shuffled on the common path.
     """
     spark = edges.sparkSession
     edges = edges.select("src", "dst").persist()
@@ -92,37 +118,50 @@ def shortest_paths(edges: DataFrame, src: str, dst: str,
         root = (spark.createDataFrame([(src,)], "node string")
                 .localCheckpoint(eager=True))
         levels = [root]
+        level_ns = [1]
         visited = root
+        visited_n = 1
         depth_found = None
         for depth in range(1, max_depth + 1):
+            fr = _maybe_broadcast(
+                levels[-1].withColumnRenamed("node", "src"), level_ns[-1])
             frontier = (
-                edges.join(levels[-1].withColumnRenamed("node", "src"), "src")
+                edges.join(fr, "src")
                 .select(F.col("dst").alias("node")).distinct()
-                .join(visited, "node", "left_anti")
-                .localCheckpoint(eager=True)
+                .join(_maybe_broadcast(visited, visited_n),
+                      "node", "left_anti")
+                .localCheckpoint(eager=False)
             )
+            frontier_n = frontier.count()  # materializes the checkpoint
             if frontier.where(F.col("node") == dst).take(1):
                 depth_found = depth
                 levels.append(frontier.where(F.col("node") == dst))
+                level_ns.append(1)
                 break
-            if not frontier.take(1):
+            if frontier_n == 0:
                 break
             levels.append(frontier)
-            visited = visited.union(frontier).localCheckpoint(eager=True)
+            level_ns.append(frontier_n)
+            visited = visited.union(frontier).localCheckpoint(eager=False)
+            visited_n += frontier_n
         if depth_found is None:
             return (root.select(F.array(F.col("node")).alias("path"),
                                 F.lit(0).alias("depth")).limit(0))
         paths = levels[-1].select(
             "node", F.array(F.col("node")).alias("path"))
+        paths_n = 1
         for d in range(depth_found - 1, -1, -1):
+            pf = _maybe_broadcast(
+                paths.withColumnRenamed("node", "dst"), paths_n)
             paths = (
-                edges.join(paths.withColumnRenamed("node", "dst"), "dst")
+                edges.join(pf, "dst")
                 .select(F.col("src").alias("node"),
                         F.concat(F.array(F.col("src")), "path").alias("path"))
-                .join(levels[d], "node")
+                .join(_maybe_broadcast(levels[d], level_ns[d]), "node")
                 .dropDuplicates(["path"])
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
+            paths_n = paths.count()  # materializes the checkpoint
         return paths.select("path", F.lit(depth_found).alias("depth"))
     finally:
         edges.unpersist()
