@@ -39,6 +39,31 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_BUILD_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
 
 
+def _burn(seed):
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 1 << 40, 1_000_000)
+    for _ in range(3):
+        o = np.argsort(a, kind="stable")
+        a = a[o] ^ (a >> 3)
+    return int(a[0])
+
+
+def _host_ctl(n: int) -> float:
+    """Per-proc rate of n concurrent memory-bound argsort workers —
+    the same host-health control scaling_bench.py records. This VM's
+    aggregate memory throughput swings several-x minute-to-minute
+    (BASELINE.md); recording the control beside the timings lets a
+    degraded-window artifact be read as such. Healthy ~2.5-3.1;
+    collapsed windows observed down to ~0.3."""
+    import multiprocessing as mp
+    with mp.Pool(n) as p:
+        p.map(_burn, range(n))          # pool warm
+        t0 = time.time()
+        p.map(_burn, range(n, 3 * n))
+        return 2.0 / (time.time() - t0)
+
+
 def main() -> None:
     from lucene_solr_spark import entry_queries
     from lucene_solr_spark.corpus import gen_corpus_spark
@@ -56,6 +81,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
     t_all = time.time()
+    ctl_pre = round(_host_ctl(CPUS), 3)
 
     # -- index build (north-rule throughput) --------------------------------
     # corpus is materialized to parquet first: the measured job reads a
@@ -92,19 +118,35 @@ def main() -> None:
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(max_file + (1 << 20)))
     spark.conf.set("spark.sql.files.openCostInBytes", "0")
     corpus = spark.read.parquet(corpus_path)
-    # warm up executor JVM codegen + the Python worker pool with one
-    # FULL-SIZE untimed build: a long-running cluster executor indexes
-    # at steady state; a fresh local worker pays first-touch page
-    # faults up to its memory high-water mark once, and on this lazily
-    # paged VM that one-time cost is large and proportional to worker
-    # count (the reference's luceneutil benchmarks discard warmup too)
-    build_index(spark, idx_dir, [("bench", corpus)], analyzer="standard",
-                norms="byte", assume_sorted=True)
-    shutil.rmtree(idx_dir, ignore_errors=True)
-    t0 = time.time()
-    build_index(spark, idx_dir, [("bench", corpus)], analyzer="standard",
-                norms="byte", assume_sorted=True)
-    build_s = time.time() - t0
+    # warm up executor JVM codegen + the Python worker pool with
+    # FULL-SIZE untimed builds until the wall stabilizes: a
+    # long-running cluster executor indexes at steady state; a fresh
+    # local worker pays first-touch page faults up to its memory
+    # high-water mark, and on this lazily paged VM that cost is large,
+    # proportional to worker count, and spread over the first SEVERAL
+    # builds (measured 114s -> 16s -> 8.6s -> 6.8s on the same corpus
+    # in one session), so one warmup build is not enough (the
+    # reference's luceneutil benchmarks discard warmup too). Then
+    # report the median of 3 timed builds.
+    prev = None
+    for _ in range(4):
+        t0 = time.time()
+        build_index(spark, idx_dir, [("bench", corpus)], analyzer="standard",
+                    norms="byte", assume_sorted=True)
+        w = time.time() - t0
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        if prev is not None and w > 0.8 * prev:
+            break
+        prev = w
+    walls = []
+    for _ in range(3):
+        t0 = time.time()
+        build_index(spark, idx_dir, [("bench", corpus)], analyzer="standard",
+                    norms="byte", assume_sorted=True)
+        walls.append(time.time() - t0)
+        if _ < 2:
+            shutil.rmtree(idx_dir, ignore_errors=True)
+    build_s = sorted(walls)[1]
     timings["index_build"] = round(build_s, 3)
     index_build = {
         "docs": N_BUILD_DOCS,
@@ -147,25 +189,32 @@ def main() -> None:
         )),
         "bm25_phrase": PhraseQuery(terms=("def", "class")),
     }
+    # For the WAND-vs-exhaustive comparison the pruned and exhaustive
+    # reps are INTERLEAVED within the same measurement window: this
+    # host's speed drifts minute-to-minute, so timing all exhaustive
+    # reps first and all pruned reps later lets drift masquerade as a
+    # win or a loss (observed both directions across back-to-back
+    # runs). Median of 3 per variant, alternating variants per rep.
     lat_ms = []
+    wand_pairs = {"bm25_term": "bm25_term_wand", "bm25_or": "bm25_or_wand"}
     for name, q in bm25_queries.items():
-        reps = []
-        for _ in range(3):
+        reps, reps_w = [], []
+        # 5 paired reps for the wand comparisons (sub-second walls,
+        # ~3% host jitter), 3 for the rest
+        for _ in range(5 if name in wand_pairs else 3):
             t0 = time.time()
             searcher.search(q, k=10)
             reps.append(time.time() - t0)
-        dt = sorted(reps)[1]  # median of 3 (host speed fluctuates)
+            if name in wand_pairs:
+                t0 = time.time()
+                searcher.search(q, k=10, prune=True)
+                reps_w.append(time.time() - t0)
+        dt = sorted(reps)[len(reps) // 2]  # median (host speed fluctuates)
         timings[name] = round(dt, 3)
         lat_ms.append(dt * 1000)
-    # block-max WAND pruned path (rank-identical; see tests/test_wand.py)
-    for name, q in (("bm25_term_wand", bm25_queries["bm25_term"]),
-                    ("bm25_or_wand", bm25_queries["bm25_or"])):
-        reps = []
-        for _ in range(3):
-            t0 = time.time()
-            searcher.search(q, k=10, prune=True)
-            reps.append(time.time() - t0)
-        timings[name] = round(sorted(reps)[1], 3)
+        if reps_w:
+            # rank-identical pruned path; see tests/test_wand.py
+            timings[wand_pairs[name]] = round(sorted(reps_w)[len(reps_w) // 2], 3)
     lat_ms.sort()
     p50_ms = lat_ms[len(lat_ms) // 2]
 
@@ -205,6 +254,8 @@ def main() -> None:
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "index_build": index_build,
         "query_p50_ms": round(p50_ms, 1),
+        "host_ctl": {"pre": ctl_pre, "post": round(_host_ctl(CPUS), 3),
+                     "healthy": "~2.5-3.1 per-proc; collapsed windows ~0.3"},
     }
     # fold the north-rule two-parallelism-level evidence (written by
     # scaling_bench.py on a quiet machine) into the official artifact
