@@ -228,7 +228,8 @@ def main() -> None:
         "dedup_exact", "dedup_simhash", "dedup_minhash_lsh",
         "dedup_components", "dedup_embedding_lsh", "early_terminate_sorted",
         "stream_regression", "ann_cosine_topk", "graph_shortest_path",
-        "text_quality", "text_token_counts",
+        "text_quality", "text_token_counts", "text_repetition",
+        "text_decontam",
     ]
     headliners += ["seg_span_near", "seg_lm_dirichlet", "seg_passage_highlight"]
     reg = entry_queries.queries()

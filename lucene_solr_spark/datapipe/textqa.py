@@ -107,6 +107,169 @@ def token_counts(df: DataFrame, group_col: str = "source",
     )
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     line_tokens: int = 6) -> DataFrame:
+    """Gopher/C4-style repetition signals, pure Catalyst (no UDF, no
+    shuffle — map-only over the corpus scan).
+
+    The reference pipelines (Gopher §A.1.1, C4 §2.2 heuristics) count
+    duplicate lines and repeated n-grams per document with a per-doc
+    hash map; here every signal is an O(n log n) array expression
+    inside whole-stage codegen:
+
+      * lines are fixed `line_tokens`-token chunks (the synthetic
+        corpus has no newlines; a real corpus would split on '\\n' —
+        same expressions either way);
+      * dup_line_frac      = 1 - distinct_lines / lines  (excess copies);
+      * dup_line_char_frac = excess-copy chars / total line chars;
+      * bigram_dup_frac / trigram_dup_frac = 1 - distinct/total n-grams;
+      * mean_word_len, plus a combined `gopher_keep` flag with
+        Gopher-inspired thresholds (50..100k tokens, mean word length
+        3..10, dup_line_frac < 0.3, bigram_dup_frac < 0.6 — the last
+        loosened for the tiny-vocabulary synthetic corpus).
+
+    All ratios are int/int doubles rounded to 6 — bit-deterministic and
+    replayable in DuckDB SQL.
+    """
+    toks = tokens_array(F.col(text_col))
+    n = F.size(toks)
+
+    def ngrams(k: int):
+        return F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.array_join(F.slice(toks, i, k), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    lines = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.floor((n - 1) / F.lit(line_tokens)).cast("int")),
+            lambda i: F.array_join(
+                F.slice(toks, i * line_tokens + 1, line_tokens), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def chars(arr):
+        return F.aggregate(arr, F.lit(0).cast("bigint"),
+                           lambda acc, x: acc + F.length(x))
+
+    def dup_frac(total, distinct):
+        return F.when(total > 0,
+                      (total - distinct).cast("double") / total.cast("double")
+                      ).otherwise(F.lit(0.0))
+
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("t"),
+                     lines.alias("lines"), ngrams(2).alias("bg"),
+                     ngrams(3).alias("tg"))
+    n2 = F.size(F.col("t"))
+    line_chars = chars(F.col("lines"))
+    dline_chars = chars(F.array_distinct(F.col("lines")))
+    mean_wl = F.when(n2 > 0,
+                     chars(F.col("t")).cast("double") / n2.cast("double")
+                     ).otherwise(F.lit(0.0))
+    dup_line = dup_frac(F.size(F.col("lines")),
+                        F.size(F.array_distinct(F.col("lines"))))
+    dup_bg = dup_frac(F.size(F.col("bg")),
+                      F.size(F.array_distinct(F.col("bg"))))
+    dup_tg = dup_frac(F.size(F.col("tg")),
+                      F.size(F.array_distinct(F.col("tg"))))
+    dup_line_chars = F.when(
+        line_chars > 0,
+        (line_chars - dline_chars).cast("double") / line_chars.cast("double"),
+    ).otherwise(F.lit(0.0))
+    keep = ((n2 >= 50) & (n2 <= 100000)
+            & (mean_wl >= 3.0) & (mean_wl <= 10.0)
+            & (dup_line < 0.30) & (dup_bg < 0.60))
+    return base.select(
+        "doc_id",
+        n2.cast("long").alias("n_tokens"),
+        F.size(F.col("lines")).cast("long").alias("n_lines"),
+        F.round(dup_line, 6).alias("dup_line_frac"),
+        F.round(dup_line_chars, 6).alias("dup_line_char_frac"),
+        F.round(dup_bg, 6).alias("bigram_dup_frac"),
+        F.round(dup_tg, 6).alias("trigram_dup_frac"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        keep.cast("int").alias("gopher_keep"),
+    )
+
+
+# PII patterns: RE2-safe (no backreferences/lookaround) so the exact
+# same pattern runs in Spark (Java regex) and DuckDB (RE2) — leftmost
+# non-overlapping match semantics agree between the engines.
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE_RE = r"\b[0-9]{3}-[0-9]{4}\b"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_emails, n_ips, n_phones, redacted_fp): count and
+    redact email / IPv4 / phone-shaped PII, map-only (regexp_count +
+    chained regexp_replace inside codegen — one corpus pass at any
+    scale). Redaction order is fixed (emails, then IPs, then phones)
+    so the count/replace passes are deterministic; redacted_fp is the
+    md5 of the scrubbed text (the scrubbed corpus itself would be the
+    sink column in production)."""
+    t = F.col(text_col)
+    red = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IP_RE, "<IP>")
+    red = F.regexp_replace(red, PII_PHONE_RE, "<PHONE>")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IP_RE)).cast("long").alias("n_ips"),
+        F.regexp_count(
+            F.regexp_replace(F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+                             PII_IP_RE, "<IP>"),
+            F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        F.md5(red).alias("redacted_fp"),
+    )
+
+
+def decontaminate(train: DataFrame, eval_df: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  k: int = 8) -> DataFrame:
+    """Eval-set decontamination: for every training doc sharing at
+    least one distinct k-token shingle with ANY eval doc, report
+    (doc_id, n_shingles, n_contaminated, contamination).
+
+    The scale shape is the one production decontamination uses: the
+    eval side is small by construction (benchmarks are thousands of
+    docs, not billions), so its distinct shingle set is broadcast and
+    the training corpus is scanned map-side — no shuffle of training
+    shingles, cost is one corpus pass + a per-doc hash-set probe. The
+    per-doc aggregation groups on doc_id with map-side partial
+    aggregation (shingles of one doc are in one partition already)."""
+    def shingles(df: DataFrame):
+        toks = tokens_array(F.col(text_col))
+        sh = F.when(
+            F.size(toks) >= k,
+            F.array_distinct(F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+                lambda i: F.array_join(F.slice(toks, i, k), " "),
+            )),
+        ).otherwise(F.array().cast("array<string>"))
+        return df.select(F.col(id_col).alias("doc_id"), sh.alias("sh"))
+
+    ev = (shingles(eval_df)
+          .select(F.explode("sh").alias("s")).distinct())
+    tr = shingles(train).select(
+        "doc_id", F.size("sh").alias("n_shingles"), F.explode("sh").alias("s"))
+    hits = (tr.join(F.broadcast(ev), "s")
+            .groupBy("doc_id", "n_shingles")
+            .agg(F.count(F.lit(1)).alias("n_contaminated")))
+    return hits.select(
+        "doc_id", F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_contaminated").cast("long").alias("n_contaminated"),
+        F.round(F.col("n_contaminated").cast("double")
+                / F.col("n_shingles").cast("double"), 6).alias("contamination"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """(doc_id, fp): content fingerprint = md5 of the normalized text

@@ -1432,6 +1432,147 @@ def doc_fingerprint(spark, sf_dir):
     return _tq.fingerprint(load(spark, sf_dir, "documents"))
 
 
+@register("text_repetition", """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, len(t) AS n,
+    coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS tchars,
+    CASE WHEN len(t) > 0 THEN
+      list_transform(generate_series(0, CAST(floor((len(t)-1)/6) AS BIGINT)),
+                     i -> array_to_string(t[(i*6+1):(i*6+6)], ' '))
+    ELSE CAST([] AS VARCHAR[]) END AS lines,
+    CASE WHEN len(t) >= 2 THEN
+      list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])
+    ELSE CAST([] AS VARCHAR[]) END AS bg,
+    CASE WHEN len(t) >= 3 THEN
+      list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+    ELSE CAST([] AS VARCHAR[]) END AS tg
+  FROM base
+),
+m AS (
+  SELECT doc_id, n, lines, bg, tg,
+    coalesce(list_sum(list_transform(lines, x -> length(x))), 0) AS lc,
+    coalesce(list_sum(list_transform(list_distinct(lines), x -> length(x))), 0) AS dlc,
+    CASE WHEN len(lines) > 0 THEN (len(lines) - len(list_distinct(lines))) * 1.0 / len(lines) ELSE 0.0 END AS dup_line,
+    CASE WHEN len(bg) > 0 THEN (len(bg) - len(list_distinct(bg))) * 1.0 / len(bg) ELSE 0.0 END AS dup_bg,
+    CASE WHEN len(tg) > 0 THEN (len(tg) - len(list_distinct(tg))) * 1.0 / len(tg) ELSE 0.0 END AS dup_tg,
+    CASE WHEN n > 0 THEN tchars * 1.0 / n ELSE 0.0 END AS mwl
+  FROM feat
+)
+SELECT doc_id,
+  CAST(n AS BIGINT) AS n_tokens,
+  CAST(len(lines) AS BIGINT) AS n_lines,
+  round(dup_line, 6) AS dup_line_frac,
+  round(CASE WHEN lc > 0 THEN (lc - dlc) * 1.0 / lc ELSE 0.0 END, 6) AS dup_line_char_frac,
+  round(dup_bg, 6) AS bigram_dup_frac,
+  round(dup_tg, 6) AS trigram_dup_frac,
+  round(mwl, 6) AS mean_word_len,
+  CASE WHEN n BETWEEN 50 AND 100000 AND mwl >= 3.0 AND mwl <= 10.0
+            AND dup_line < 0.30 AND dup_bg < 0.60
+       THEN 1 ELSE 0 END AS gopher_keep
+FROM m
+""")
+def text_repetition(spark, sf_dir):
+    """Gopher/C4 repetition-quality signals: duplicate-line and
+    repeated-n-gram fractions + keep flag, map-only Catalyst
+    (datapipe/textqa.py repetition_stats)."""
+    return _tq.repetition_stats(load(spark, sf_dir, "documents"))
+
+
+# Deterministic PII injection for the scrub oracle: the synthetic
+# corpus contains no addresses, so every third doc gets an email /
+# phone / IPv4 derived from its doc_id — built by the IDENTICAL
+# expression on both engines, then counted and redacted by the real
+# scrubber. (On a real corpus pii_scrub runs on the raw text column.)
+_PII_AUG_SQL = """
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or call 555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+         ELSE text END AS text
+  FROM documents
+"""
+
+
+def _pii_aug(df):
+    aug = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"), F.lit(" contact user"),
+            F.col("doc_id").cast("string"), F.lit("@example.com or call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."), ((F.col("doc_id") * 7) % 256).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    return df.select("doc_id", aug.alias("text"))
+
+
+@register("text_pii_scrub", """
+WITH aug AS (""" + _PII_AUG_SQL + """)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(
+    regexp_replace(regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+                   '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+    '\\b[0-9]{3}-[0-9]{4}\\b')) AS BIGINT) AS n_phones,
+  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+        '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+        '\\b[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g')) AS redacted_fp
+FROM aug
+""")
+def text_pii_scrub(spark, sf_dir):
+    """PII count + redaction (emails / IPv4s / phones) over the
+    deterministically-augmented corpus, map-only regex pipeline
+    (datapipe/textqa.py pii_scrub)."""
+    return _tq.pii_scrub(_pii_aug(load(spark, sf_dir, "documents")))
+
+
+@register("text_decontam", """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 4 THEN
+           list_distinct(list_transform(generate_series(1, len(t)-3),
+                                        i -> array_to_string(t[i:(i+3)], ' ')))
+         ELSE CAST([] AS VARCHAR[]) END AS sh
+  FROM base
+),
+ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS s
+       FROM sh WHERE doc_id % 97 <> 0)
+SELECT tr.doc_id,
+       CAST(tr.n_shingles AS BIGINT) AS n_shingles,
+       CAST(count(*) AS BIGINT) AS n_contaminated,
+       round(count(*) * 1.0 / tr.n_shingles, 6) AS contamination
+FROM tr JOIN ev ON tr.s = ev.s
+GROUP BY tr.doc_id, tr.n_shingles
+""")
+def text_decontam(spark, sf_dir):
+    """Eval-set decontamination: 4-token shingle overlap of every
+    training doc (doc_id % 97 != 0) against the broadcast eval-set
+    shingle dictionary (doc_id % 97 = 0) — one map-side corpus pass
+    (datapipe/textqa.py decontaminate)."""
+    d = load(spark, sf_dir, "documents")
+    return _tq.decontaminate(
+        d.where(F.col("doc_id") % 97 != 0), d.where(F.col("doc_id") % 97 == 0),
+        k=4)  # production uses 13-gram; the tiny synthetic vocabulary
+              # makes >=5-grams per-doc-unique, which would test nothing
+
+
 @register("mm_binary_meta", """
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

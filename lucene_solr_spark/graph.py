@@ -132,8 +132,15 @@ def shortest_paths(edges: DataFrame, src: str, dst: str,
                       "node", "left_anti")
                 .localCheckpoint(eager=False)
             )
-            frontier_n = frontier.count()  # materializes the checkpoint
-            if frontier.where(F.col("node") == dst).take(1):
+            # one job per level: the count (materializing the
+            # checkpoint) and the did-we-reach-the-target probe are the
+            # same aggregate — per-level job waves are the serial cost
+            # an iterative BFS pays, so every fused wave matters
+            frontier_n, hit = frontier.agg(
+                F.count(F.lit(1)),
+                F.max(F.when(F.col("node") == dst, 1)),
+            ).first()
+            if hit:
                 depth_found = depth
                 levels.append(frontier.where(F.col("node") == dst))
                 level_ns.append(1)

@@ -142,3 +142,66 @@ def test_lsh_near_pairs_recall_vs_exact(spark, embeddings):
     recall = len(exact & set(approx)) / len(exact)
     assert recall >= 0.9, f"recall {recall}"
     assert all(c >= 0.9 for c in approx.values())
+
+
+def test_repetition_stats_flags_duplicate_heavy_doc(spark):
+    """A doc that is one 6-token line repeated 20x must show maximal
+    dup_line_frac (19/20) and fail gopher_keep; a diverse doc of the
+    same length must pass."""
+    from lucene_solr_spark.datapipe.textqa import repetition_stats
+
+    line = "alpha bravo charlie delta echo foxtrot"
+    diverse = " ".join(f"tok{i} word{i*7%97}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, " ".join([line] * 20)), (2, diverse)], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert rows[1]["dup_line_frac"] == pytest.approx(19 / 20)
+    assert rows[1]["bigram_dup_frac"] > 0.9
+    assert rows[1]["gopher_keep"] == 0
+    assert rows[2]["dup_line_frac"] == 0.0
+    assert rows[2]["gopher_keep"] == 1
+
+
+def test_pii_scrub_redacts_everything_it_counts(spark):
+    """Counts match the injected PII and the redacted text (recomputed
+    through the same expressions) contains none of the raw values."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.datapipe.textqa import (
+        PII_EMAIL_RE, PII_IP_RE, PII_PHONE_RE, pii_scrub)
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.com and c.d@e.org ip 10.0.0.1 call 555-1234"),
+         (2, "clean text with no pii at all")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert (rows[1]["n_emails"], rows[1]["n_ips"], rows[1]["n_phones"]) == (2, 1, 1)
+    assert (rows[2]["n_emails"], rows[2]["n_ips"], rows[2]["n_phones"]) == (0, 0, 0)
+    red = df.select(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("text", PII_EMAIL_RE, "<EMAIL>"),
+                PII_IP_RE, "<IP>"),
+            PII_PHONE_RE, "<PHONE>").alias("r")
+    ).collect()
+    assert red[0]["r"] == "mail <EMAIL> and <EMAIL> ip <IP> call <PHONE>"
+    assert red[1]["r"] == "clean text with no pii at all"
+
+
+def test_decontaminate_exact_copy_is_fully_contaminated(spark):
+    """A training doc that IS an eval doc shows contamination 1.0; a
+    disjoint-vocabulary doc is absent from the result."""
+    from lucene_solr_spark.datapipe.textqa import decontaminate
+
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely different words entirely here now ok yes"),
+         (3, "prefix words then the quick brown fox appears")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in decontaminate(train, eval_df, k=4).collect()}
+    assert rows[1]["contamination"] == pytest.approx(1.0)
+    assert 2 not in rows
+    assert rows[3]["n_contaminated"] == 1  # "the quick brown fox"
