@@ -2988,6 +2988,218 @@ def math_eval_matrix(spark, sf_dir):
     )
 
 
+@register("math_eval_matmul", """
+WITH a AS (
+  SELECT user_id % 8 AS i, event_id % 8 AS j, sum(value) AS v
+  FROM events GROUP BY user_id % 8, event_id % 8
+)
+SELECT x.i AS i, y.i AS k, round(sum(x.v * y.v), 6) AS c
+FROM a x JOIN a y ON x.j = y.j
+GROUP BY x.i, y.i
+""")
+def math_eval_matmul(spark, sf_dir):
+    """matrixMultiply/transpose evaluators (solrj/io/eval
+    MatrixMultiplyEvaluator.java:40, TransposeEvaluator) restated as
+    the DISTRIBUTED sparse matrix product: A (8x8, aggregated from the
+    events stream as coordinate triples) times its own transpose,
+    C[i,k] = sum_j A[i,j]*A[k,j] — one shuffle on the inner dimension
+    j then a hash aggregate on (i,k). This is the shape that scales:
+    at 100 TB the triples join partitions by j and never materializes
+    a dense matrix; the reference evaluator's commons-math RealMatrix
+    multiply is the driver-side special case."""
+    ev = load(spark, sf_dir, "events")
+    a = (ev.select((F.col("user_id") % 8).alias("i"),
+                   (F.col("event_id") % 8).alias("j"), "value")
+         .groupBy("i", "j").agg(F.sum("value").alias("v")))
+    x = a.alias("x")
+    y = a.select(F.col("i").alias("k"), F.col("j").alias("j2"),
+                 F.col("v").alias("w")).alias("y")
+    return (x.join(y, F.col("j") == F.col("j2"))
+            .groupBy("i", "k")
+            .agg(F.round(F.sum(F.col("v") * F.col("w")), 6).alias("c")))
+
+
+@register("math_eval_distances", """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+v AS (SELECT vec_id, embedding AS e FROM embeddings
+      WHERE vec_id BETWEEN 1 AND 24)
+SELECT vec_id,
+  round(list_sum(list_transform(generate_series(1, 64),
+        i -> abs(CAST(e[i] AS DOUBLE) - CAST(qe[i] AS DOUBLE)))), 6) AS manhattan,
+  round(list_max(list_transform(generate_series(1, 64),
+        i -> abs(CAST(e[i] AS DOUBLE) - CAST(qe[i] AS DOUBLE)))), 6) AS chebyshev,
+  round(list_sum(list_transform(generate_series(1, 64),
+        i -> CASE WHEN abs(CAST(e[i] AS DOUBLE)) + abs(CAST(qe[i] AS DOUBLE)) > 0
+                  THEN abs(CAST(e[i] AS DOUBLE) - CAST(qe[i] AS DOUBLE))
+                       / (abs(CAST(e[i] AS DOUBLE)) + abs(CAST(qe[i] AS DOUBLE)))
+                  ELSE 0.0 END)), 6) AS canberra,
+  round(sqrt(list_sum(list_transform(generate_series(1, 64),
+        i -> pow(CAST(e[i] AS DOUBLE) - CAST(qe[i] AS DOUBLE), 2)))), 6) AS euclidean
+FROM v, q
+""")
+def math_eval_distances(spark, sf_dir):
+    """Distance-metric evaluators (solrj/io/eval ManhattanEvaluator,
+    ChebyshevDistanceEvaluator, CanberraEvaluator,
+    EuclideanDistanceEvaluator — commons-math DistanceMeasure impls):
+    each embedding vs the broadcast query vector (vec_id 0), all four
+    metrics from ONE zip_with pass per metric inside codegen — no UDF,
+    map-only after the 1-row broadcast. Canberra's 0/0 terms are 0 by
+    the commons-math convention."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    v = emb.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= 24)).select(
+        "vec_id", F.col("embedding").alias("e"))
+    j = v.crossJoin(F.broadcast(q))
+    diff = F.zip_with("e", "qe",
+                      lambda a, b: F.abs(a.cast("double") - b.cast("double")))
+    canb = F.zip_with(
+        "e", "qe",
+        lambda a, b: F.when(
+            F.abs(a.cast("double")) + F.abs(b.cast("double")) > 0,
+            F.abs(a.cast("double") - b.cast("double"))
+            / (F.abs(a.cast("double")) + F.abs(b.cast("double"))),
+        ).otherwise(F.lit(0.0)))
+    sq = F.zip_with("e", "qe",
+                    lambda a, b: F.pow(a.cast("double") - b.cast("double"), 2))
+    def fsum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+    return j.select(
+        "vec_id",
+        F.round(fsum(diff), 6).alias("manhattan"),
+        F.round(F.array_max(diff), 6).alias("chebyshev"),
+        F.round(fsum(canb), 6).alias("canberra"),
+        F.round(F.sqrt(fsum(sq)), 6).alias("euclidean"),
+    )
+
+
+@register("math_eval_temporal", """
+SELECT year(ts) AS y, quarter(ts) AS q, month(ts) AS m,
+       weekofyear(ts) AS w,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 6) AS sum_value,
+       CAST(min(dayofyear(ts)) AS BIGINT) AS min_doy,
+       CAST(max(hour(ts)) AS BIGINT) AS max_hour
+FROM events
+GROUP BY year(ts), quarter(ts), month(ts), weekofyear(ts)
+""")
+def math_eval_temporal(spark, sf_dir):
+    """Temporal evaluator family (solrj/io/eval TemporalEvaluatorYear /
+    Quarter / Month / Week / DayOfYear / Hour — java.time accessors):
+    event stream rolled up by (year, quarter, month, ISO week) with
+    per-bucket count/sum and day-of-year / hour extrema. All JVM
+    datetime built-ins; one hash aggregate."""
+    ev = load(spark, sf_dir, "events")
+    return (ev.groupBy(
+        F.year("ts").alias("y"), F.quarter("ts").alias("q"),
+        F.month("ts").alias("m"), F.weekofyear("ts").alias("w"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+             F.round(F.sum("value"), 6).alias("sum_value"),
+             F.min(F.dayofyear("ts")).cast("bigint").alias("min_doy"),
+             F.max(F.hour("ts")).cast("bigint").alias("max_hour")))
+
+
+@register("math_eval_markov", """
+WITH seq AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+),
+c AS (
+  SELECT prev AS from_state, event_type AS to_state, count(*) AS n
+  FROM seq WHERE prev IS NOT NULL
+  GROUP BY prev, event_type
+)
+SELECT from_state, to_state, CAST(n AS BIGINT) AS n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY from_state), 6) AS p
+FROM c
+""")
+def math_eval_markov(spark, sf_dir):
+    """markovChain() evaluator (solrj/io/eval
+    MarkovChainEvaluator.java:38): the state-transition probability
+    matrix of each user's event-type sequence — lag window per user
+    (one shuffle on user_id), transition hash count, then row-normalize
+    with a window over from_state. The transition-count matrix is tiny
+    (|states|^2) regardless of corpus size; all heavy steps are the
+    partitioned window + one aggregate."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("event_type",
+                    F.lag("event_type").over(w).alias("prev"))
+    c = (seq.where(F.col("prev").isNotNull())
+         .groupBy(F.col("prev").alias("from_state"),
+                  F.col("event_type").alias("to_state"))
+         .agg(F.count(F.lit(1)).alias("n")))
+    wnorm = Window.partitionBy("from_state")
+    return c.select(
+        "from_state", "to_state", F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(wnorm), 6).alias("p"))
+
+
+@register("math_eval_polyfit", """
+WITH d AS (
+  SELECT CAST(event_id % 100 AS DOUBLE) / 10.0 AS x, value AS y FROM events
+),
+s AS (
+  SELECT count(*) * 1.0 AS n, sum(x) AS sx, sum(x*x) AS sx2,
+         sum(x*x*x) AS sx3, sum(x*x*x*x) AS sx4,
+         sum(y) AS sy, sum(x*y) AS sxy, sum(x*x*y) AS sx2y
+  FROM d
+)
+SELECT round((sy  * (sx2*sx4 - sx3*sx3) - sxy * (sx*sx4 - sx2*sx3)
+              + sx2y * (sx*sx3 - sx2*sx2))
+             / (n * (sx2*sx4 - sx3*sx3) - sx * (sx*sx4 - sx2*sx3)
+                + sx2 * (sx*sx3 - sx2*sx2)), 6) AS c0,
+       round((n * (sxy*sx4 - sx2y*sx3) - sy * (sx*sx4 - sx2*sx3)
+              + sx2 * (sx*sx2y - sx2*sxy))
+             / (n * (sx2*sx4 - sx3*sx3) - sx * (sx*sx4 - sx2*sx3)
+                + sx2 * (sx*sx3 - sx2*sx2)), 6) AS c1,
+       round((n * (sx2*sx2y - sx3*sxy) - sx * (sx*sx2y - sx2*sxy)
+              + sy * (sx*sx3 - sx2*sx2))
+             / (n * (sx2*sx4 - sx3*sx3) - sx * (sx*sx4 - sx2*sx3)
+                + sx2 * (sx*sx3 - sx2*sx2)), 6) AS c2,
+       CAST(n AS BIGINT) AS n_points
+FROM s
+""")
+def math_eval_polyfit(spark, sf_dir):
+    """polyfit() evaluator (solrj/io/eval PolyFitEvaluator.java:42,
+    commons-math PolynomialCurveFitter, default degree 2): least-squares
+    quadratic y = c0 + c1 x + c2 x^2 solved in closed form — ONE
+    distributed aggregate of the moment sums (n, Sx..Sx4, Sy, Sxy,
+    Sx2y), then Cramer's rule on the 3x3 normal equations as plain
+    arithmetic. x is bounded to [0,10) so the normal equations stay
+    well-conditioned; the distributed cost is a single partial+final
+    reduce at any corpus size."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.select(((F.col("event_id") % 100).cast("double") / 10.0).alias("x"),
+                  F.col("value").alias("y"))
+    s = d.agg(
+        (F.count(F.lit(1)) * 1.0).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("x") * F.col("x") * F.col("x")).alias("sx3"),
+        F.sum(F.col("x") * F.col("x") * F.col("x") * F.col("x")).alias("sx4"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x") * F.col("y")).alias("sx2y"),
+    )
+    n, sx, sx2 = F.col("n"), F.col("sx"), F.col("sx2")
+    sx3, sx4 = F.col("sx3"), F.col("sx4")
+    sy, sxy, sx2y = F.col("sy"), F.col("sxy"), F.col("sx2y")
+    m00, m01, m02 = sx2 * sx4 - sx3 * sx3, sx * sx4 - sx2 * sx3, sx * sx3 - sx2 * sx2
+    det = n * m00 - sx * m01 + sx2 * m02
+    c0 = (sy * m00 - sxy * m01 + sx2y * m02) / det
+    c1 = (n * (sxy * sx4 - sx2y * sx3) - sy * m01
+          + sx2 * (sx * sx2y - sx2 * sxy)) / det
+    c2 = (n * (sx2 * sx2y - sx3 * sxy) - sx * (sx * sx2y - sx2 * sxy)
+          + sy * m02) / det
+    return s.select(
+        F.round(c0, 6).alias("c0"), F.round(c1, 6).alias("c1"),
+        F.round(c2, 6).alias("c2"), n.cast("bigint").alias("n_points"))
+
+
 @register("func_strdist", """
 SELECT p_partkey, p_brand,
        round(1.0 - CAST(levenshtein(p_brand, 'Brand#33') AS DOUBLE)
