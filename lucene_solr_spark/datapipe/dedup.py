@@ -83,9 +83,15 @@ def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     toked = df.select(
         F.col(id_col).alias("doc_id"), tokens_array(F.col(text_col)).alias("toks")
     )
+    # explode_outer + isnotnull, not explode: an inner generate infers
+    # `size(shingle_array(toks)) > 0` and pushes it below the project,
+    # inlining tokenize+shingle into a per-row filter (measured 15x on
+    # the decontam twin of this shape)
     return (
         toked.select("doc_id",
-                     F.explode(shingle_array(F.col("toks"), k)).alias("shingle"))
+                     F.explode_outer(shingle_array(F.col("toks"), k))
+                     .alias("shingle"))
+        .where(F.col("shingle").isNotNull())
         .distinct()
     )
 
@@ -137,8 +143,9 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text",
     integer math."""
     toks = (
         df.select(F.col(id_col).alias("doc_id"),
-                  F.explode(tokens_array(F.col(text_col))).alias("term"))
-        .withColumn("h", h60(F.col("term")))
+                  F.explode_outer(tokens_array(F.col(text_col))).alias("term"))
+        .where(F.col("term").isNotNull())  # outer generate: no inferred
+        .withColumn("h", h60(F.col("term")))  # size()>0 re-tokenize filter
     )
     votes = [
         F.sum(

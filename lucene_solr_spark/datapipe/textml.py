@@ -113,3 +113,63 @@ def logit_train_df(spark, df: DataFrame, feature_terms: Sequence[str],
             for i, t in enumerate(feature_terms)]
     rows.append(("__bias__", float(weights[-1]), float(final_loss)))
     return spark.createDataFrame(rows, "term string, weight double, train_logloss double")
+
+
+def igain_feature_select(df: DataFrame, label_col, top_n: int = 20,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """featuresSelection(...) stream analog (solrj/io/stream/
+    FeaturesSelectionStream.java:349-369 merging per-shard {!igain}
+    scores; scoring is IGainTermsQParserPlugin.java:92-94): rank every
+    distinct term by information gain of a binary label.
+
+        score(t) = H(pc) - [ df/N * H(xc/df)
+                             + (1 - df/N) * H((pos-xc)/(N-df+1)) ]
+
+    with N docs, pos positive docs, df docs containing t, xc positive
+    docs containing t, and H the natural-log binary entropy
+    (IGainTermsQParserPlugin.java:117-120, H(0)=H(1)=0). The reference's
+    `N - df + 1` denominator (not the textbook N - df) is preserved
+    bit-for-bit — parity with the shipped scorer beats the textbook.
+
+    Distributed shape: one explode of DISTINCT per-doc terms ->
+    per-term (df, xc) hash aggregate -> broadcast the 1-row global
+    (N, pos) -> closed-form score. The wide step shuffles (term, flag)
+    pairs once with map-side partial aggregation; the reference runs
+    the same accumulation per shard and merges driver-side.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), SPLIT_PATTERN),
+        lambda x: x != F.lit(""),
+    )
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     label_col.cast("double").alias("label"),
+                     F.array_distinct(toks).alias("t"))
+    glob = base.agg(F.count(F.lit(1)).cast("double").alias("n"),
+                    F.sum("label").alias("pos"))
+    # explode_outer + isnotnull, not explode: an inner generate makes
+    # the optimizer infer `size(t) > 0` and push it below the project,
+    # inlining the tokenize+distinct expression into a per-row filter
+    # that re-evaluates it (see textqa.decontaminate)
+    per_term = (base.select("label", F.explode_outer("t").alias("term"))
+                .where(F.col("term").isNotNull())
+                .groupBy("term")
+                .agg(F.count(F.lit(1)).cast("double").alias("df"),
+                     F.sum("label").alias("xc")))
+
+    def h(p):
+        return F.when((p > 0) & (p < 1),
+                      -p * F.log(p) - (1 - p) * F.log(1 - p)
+                      ).otherwise(F.lit(0.0))
+
+    j = per_term.crossJoin(F.broadcast(glob))
+    pc = F.col("pos") / F.col("n")
+    p_in = F.col("xc") / F.col("df")
+    p_out = (F.col("pos") - F.col("xc")) / (F.col("n") - F.col("df") + 1)
+    score = h(pc) - ((F.col("df") / F.col("n")) * h(p_in)
+                     + (1 - F.col("df") / F.col("n")) * h(p_out))
+    return (j.select("term", F.col("df").cast("bigint").alias("df"),
+                     F.col("xc").cast("bigint").alias("xc"),
+                     F.round(score, 6).alias("score_f"))
+            .orderBy(F.col("score_f").desc(), F.col("term").asc())
+            .limit(top_n))

@@ -131,8 +131,17 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
 
     All ratios are int/int doubles rounded to 6 — bit-deterministic and
     replayable in DuckDB SQL.
+
+    The token array is materialized into a column BEFORE any
+    per-element lambda touches it: an expression referenced inside a
+    higher-order-function lambda is re-evaluated per element (Catalyst
+    does not CSE across lambda scopes), so building n-grams straight
+    off tokens_array(text) re-tokenizes the document once per
+    position — measured 20x slower on the 60-token bench docs.
     """
-    toks = tokens_array(F.col(text_col))
+    tok_df = df.select(F.col(id_col).alias("doc_id"),
+                       tokens_array(F.col(text_col)).alias("t"))
+    toks = F.col("t")
     n = F.size(toks)
 
     def ngrams(k: int):
@@ -162,9 +171,9 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
                       (total - distinct).cast("double") / total.cast("double")
                       ).otherwise(F.lit(0.0))
 
-    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("t"),
-                     lines.alias("lines"), ngrams(2).alias("bg"),
-                     ngrams(3).alias("tg"))
+    base = tok_df.select("doc_id", toks.alias("t"),
+                         lines.alias("lines"), ngrams(2).alias("bg"),
+                         ngrams(3).alias("tg"))
     n2 = F.size(F.col("t"))
     line_chars = chars(F.col("lines"))
     dline_chars = chars(F.array_distinct(F.col("lines")))
@@ -245,7 +254,12 @@ def decontaminate(train: DataFrame, eval_df: DataFrame,
     per-doc aggregation groups on doc_id with map-side partial
     aggregation (shingles of one doc are in one partition already)."""
     def shingles(df: DataFrame):
-        toks = tokens_array(F.col(text_col))
+        # materialize tokens first: a lambda-captured expression is
+        # re-evaluated per element (no CSE across lambda scopes), so
+        # slicing tokens_array(text) directly re-tokenizes per position
+        tok_df = df.select(F.col(id_col).alias("doc_id"),
+                           tokens_array(F.col(text_col)).alias("t"))
+        toks = F.col("t")
         sh = F.when(
             F.size(toks) >= k,
             F.array_distinct(F.transform(
@@ -253,12 +267,22 @@ def decontaminate(train: DataFrame, eval_df: DataFrame,
                 lambda i: F.array_join(F.slice(toks, i, k), " "),
             )),
         ).otherwise(F.array().cast("array<string>"))
-        return df.select(F.col(id_col).alias("doc_id"), sh.alias("sh"))
+        return tok_df.select("doc_id", sh.alias("sh"))
 
+    # explode_outer + post-filter, NOT plain explode: for an inner
+    # generate the optimizer infers `size(sh) > 0` and pushes it below
+    # the projections, inlining the whole tokenize+shingle expression
+    # into a per-row Filter that re-evaluates it several times —
+    # measured 15x slower. The outer generate keeps the plan clean and
+    # the null rows (empty shingle arrays) drop on the cheap generated
+    # column.
     ev = (shingles(eval_df)
-          .select(F.explode("sh").alias("s")).distinct())
-    tr = shingles(train).select(
-        "doc_id", F.size("sh").alias("n_shingles"), F.explode("sh").alias("s"))
+          .select(F.explode_outer("sh").alias("s"))
+          .where(F.col("s").isNotNull()).distinct())
+    tr = (shingles(train)
+          .select("doc_id", F.size("sh").alias("n_shingles"),
+                  F.explode_outer("sh").alias("s"))
+          .where(F.col("s").isNotNull()))
     hits = (tr.join(F.broadcast(ev), "s")
             .groupBy("doc_id", "n_shingles")
             .agg(F.count(F.lit(1)).alias("n_contaminated")))

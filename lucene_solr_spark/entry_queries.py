@@ -1154,6 +1154,48 @@ def text_logit_train(spark, sf_dir):
         F.col("lang") == "en", iterations=8, lr=2.0)
 
 
+@register("features_select", """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN text LIKE '%spark%' THEN 1.0 ELSE 0.0 END AS label,
+         list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '')) AS t
+  FROM documents
+),
+g AS (SELECT count(*) * 1.0 AS n, sum(label) AS pos FROM base),
+pt AS (
+  SELECT term, count(*) * 1.0 AS df, sum(label) AS xc
+  FROM (SELECT label, unnest(t) AS term FROM base) GROUP BY term
+),
+sc AS (
+  SELECT term, df, xc,
+    (CASE WHEN pos/n > 0 AND pos/n < 1
+          THEN -(pos/n)*ln(pos/n) - (1-pos/n)*ln(1-pos/n) ELSE 0.0 END)
+    - ((df/n) * (CASE WHEN xc/df > 0 AND xc/df < 1
+                      THEN -(xc/df)*ln(xc/df) - (1-xc/df)*ln(1-xc/df) ELSE 0.0 END)
+       + (1 - df/n) * (CASE WHEN (pos-xc)/(n-df+1) > 0 AND (pos-xc)/(n-df+1) < 1
+                            THEN -((pos-xc)/(n-df+1))*ln((pos-xc)/(n-df+1))
+                                 - (1-(pos-xc)/(n-df+1))*ln(1-(pos-xc)/(n-df+1))
+                            ELSE 0.0 END)) AS score
+  FROM pt, g
+)
+SELECT term, CAST(df AS BIGINT) AS df, CAST(xc AS BIGINT) AS xc,
+       round(score, 6) AS score_f
+FROM sc ORDER BY score_f DESC, term ASC LIMIT 20
+""")
+def features_select(spark, sf_dir):
+    """featuresSelection(...) stream (FeaturesSelectionStream.java +
+    {!igain} scoring): top-20 terms by information gain of the binary
+    label text-contains-'spark' (datapipe/textml.py
+    igain_feature_select)."""
+    from .datapipe import textml
+
+    docs = load(spark, sf_dir, "documents")
+    return textml.igain_feature_select(
+        docs, F.when(F.col("text").like("%spark%"), 1.0).otherwise(0.0),
+        top_n=20)
+
+
 def _minhash_lsh_sql(num_hashes: int = 32, bands: int = 8, k: int = 3,
                      threshold: float = 0.5) -> str:
     """Full DuckDB replica of minhash_lsh_pairs: shingles -> one-md5
@@ -4598,6 +4640,37 @@ def graph_gather_nodes(spark, sf_dir):
 
     out = gather_nodes(_graph_edges(spark, sf_dir), ["c1", "c2", "c3"], 2)
     return out.orderBy("level", "node")
+
+
+@register("graph_score_nodes", "WITH " + _GRAPH_EDGES_SQL + """,
+fr(node) AS (VALUES ('c1'), ('c2'), ('c3')),
+tf AS (
+  SELECT e.dst AS walked, count(*) AS tf
+  FROM edges e JOIN fr ON e.src = fr.node GROUP BY e.dst
+),
+dfd AS (
+  SELECT e.dst AS walked, count(*) AS df
+  FROM edges e JOIN (SELECT DISTINCT walked FROM tf) w ON e.dst = w.walked
+  GROUP BY e.dst
+),
+nn AS (
+  SELECT count(DISTINCT node) AS n
+  FROM (SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges)
+)
+SELECT tf.walked AS node, CAST(tf.tf AS BIGINT) AS tf,
+       CAST(dfd.df AS BIGINT) AS df,
+       round((ln(tf.tf) + 1.0) * (ln((nn.n + 1.0) / (dfd.df + 1.0)) + 1.0), 6)
+         AS node_score
+FROM tf JOIN dfd ON tf.walked = dfd.walked, nn
+""")
+def graph_score_nodes(spark, sf_dir):
+    """scoreNodes(gatherNodes(...)) stream (ScoreNodesStream.java:243
+    tf-idf node scoring): nodes one walk step from {c1,c2,c3} scored by
+    (ln(tf)+1)*(ln((N+1)/(df+1))+1) — walk tf broadcast, global
+    in-degree df aggregated only for walked nodes (graph.py
+    score_nodes)."""
+    from .graph import score_nodes
+    return score_nodes(_graph_edges(spark, sf_dir), ["c1", "c2", "c3"])
 
 
 @register("graph_shortest_path", "WITH RECURSIVE " + _GRAPH_EDGES_SQL + """,

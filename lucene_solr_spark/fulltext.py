@@ -71,10 +71,17 @@ def tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
            stop: bool = True) -> DataFrame:
     """(doc_id, term, pos): pos is 1-based over the POST-filter stream
     (matches the SQL oracle's list_transform indexing)."""
-    return df.select(
+    # posexplode_outer + post-filter, not posexplode: an inner generate
+    # makes the optimizer infer `size(token_array(text)) > 0` and push
+    # it below the projection, inlining a SECOND full tokenize per row
+    # into the filter (InferFiltersFromGenerate); the outer generate
+    # keeps one tokenize and drops empty docs on the generated column
+    return (df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(token_array(F.col(text_col), stop)).alias("pos0", "term"),
-    ).select("doc_id", "term", (F.col("pos0") + 1).alias("pos"))
+        F.posexplode_outer(token_array(F.col(text_col), stop))
+        .alias("pos0", "term"),
+    ).where(F.col("pos0").isNotNull())
+     .select("doc_id", "term", (F.col("pos0") + 1).alias("pos")))
 
 
 def doc_lengths(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -210,12 +217,19 @@ class FulltextIndex:
 
         st = self.stats
         boosts = boosts or {}
-        arr = token_array(F.col(self.text_col), self.stop)
+        # materialize the token array once, outer-explode from the
+        # column: size()+explode() of the raw expression plus the
+        # optimizer's inferred size()>0 filter cost THREE tokenize
+        # passes per row (no CSE across the generate boundary)
+        arr_df = self.df.select(
+            F.col(self.id_col).alias("doc_id"),
+            token_array(F.col(self.text_col), self.stop).alias("arr"),
+        )
         base = (
-            self.df.select(
-                F.col(self.id_col).alias("doc_id"),
-                F.size(arr).alias("dl"),
-                F.explode(arr).alias("term"),
+            arr_df.select(
+                "doc_id",
+                F.size("arr").alias("dl"),
+                F.explode_outer("arr").alias("term"),
             )
             .where(F.col("term").isin(list(terms)))
         )

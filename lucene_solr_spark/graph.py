@@ -172,3 +172,50 @@ def shortest_paths(edges: DataFrame, src: str, dst: str,
         return paths.select("path", F.lit(depth_found).alias("depth"))
     finally:
         edges.unpersist()
+
+
+def score_nodes(edges: DataFrame, roots: Sequence[str]) -> DataFrame:
+    """scoreNodes(gatherNodes(...)) analog (solrj/io/stream/
+    ScoreNodesStream.java:243): tf-idf score each node reached in one
+    walk step from `roots`,
+
+        nodeScore = (ln(tf) + 1) * (ln((N + 1) / (df + 1)) + 1)
+
+    with tf = times the node was reached in the walk (the stream's
+    count(*) termFreq), df = the node's in-degree over the WHOLE edge
+    relation (the docFreq analog — how common the node is globally),
+    N = distinct node count (the numDocs analog).
+
+    Plan shape: the walk tf is a frontier-join + hash count (tiny,
+    broadcast); df is one map-side-partial in-degree aggregate over the
+    edge table joined to the broadcast frontier BEFORE aggregating, so
+    the global degree count only runs for the handful of walked nodes
+    — no full-degree materialization at 100 TB; N is one agg scalar.
+    """
+    spark = edges.sparkSession
+    edges = edges.select("src", "dst").persist()
+    try:
+        fr = F.broadcast(
+            spark.createDataFrame([(r,) for r in roots], "node string"))
+        tf = (edges.join(fr, edges["src"] == fr["node"])
+              .groupBy(F.col("dst").alias("walked"))
+              .agg(F.count(F.lit(1)).alias("tf")))
+        df_deg = (edges.join(F.broadcast(tf),
+                             edges["dst"] == F.col("walked"))
+                  .groupBy("walked")
+                  .agg(F.count(F.lit(1)).alias("df")))
+        n_nodes = (edges.select(F.col("src").alias("node"))
+                   .union(edges.select(F.col("dst").alias("node")))
+                   .agg(F.countDistinct("node").alias("n")))
+        j = (tf.join(df_deg, "walked")
+             .crossJoin(F.broadcast(n_nodes)))
+        score = ((F.log(F.col("tf").cast("double")) + 1.0)
+                 * (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0))
+        return j.select(
+            F.col("walked").alias("node"),
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round(score, 6).alias("node_score"),
+        )
+    finally:
+        edges.unpersist()

@@ -98,8 +98,9 @@ def compute_term_stats(blocks):
     if "imp_tf" not in blocks.columns:
         return stats
     ex = blocks.select(
-        "term", F.explode(F.arrays_zip("imp_norm", "imp_tf")).alias("p")
-    ).select("term", F.col("p.imp_norm").alias("nb"), F.col("p.imp_tf").alias("tf"))
+        "term", F.explode_outer(F.arrays_zip("imp_norm", "imp_tf")).alias("p")
+    ).select("term", F.col("p.imp_norm").alias("nb"), F.col("p.imp_tf").alias("tf")
+             ).where(F.col("nb").isNotNull())
     g = ex.groupBy("term", "nb").agg(F.max("tf").alias("tf"))
     # Pareto reduction: keep (nb, tf) only when tf beats every pair at
     # a smaller-or-equal norm (shorter doc) — dominated pairs can never
