@@ -3242,6 +3242,86 @@ def math_eval_polyfit(spark, sf_dir):
         F.round(c2, 6).alias("c2"), n.cast("bigint").alias("n_points"))
 
 
+def _geohash_terms() -> str:
+    """Big-endian bit interleave of (13 lon bits, 12 lat bits) -> the
+    25-bit geohash-5 value, as ONE SQL arithmetic string shared
+    verbatim by DuckDB and Spark (F.expr) — integer division written
+    CAST(floor(a/b) AS BIGINT) because `//` vs `DIV` differ between
+    the dialects. References columns latq/lonq."""
+    terms = []
+    for j in range(13):
+        terms.append(f"(CAST(floor(lonq / {1 << (12 - j)}.0) AS BIGINT) % 2)"
+                     f" * {1 << (24 - 2 * j)}")
+    for j in range(12):
+        terms.append(f"(CAST(floor(latq / {1 << (11 - j)}.0) AS BIGINT) % 2)"
+                     f" * {1 << (23 - 2 * j)}")
+    return " + ".join(terms)
+
+
+_GEOHASH_ALPHA = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GEOHASH_CHARS = "concat(" + ", ".join(
+    f"substring('{_GEOHASH_ALPHA}', "
+    f"CAST(CAST(floor(ghv / {32 ** (4 - k)}.0) AS BIGINT) % 32 AS INT) + 1, 1)"
+    for k in range(5)) + ")"
+
+_GEOHASH_PREP_SQL = """
+  SELECT c_custkey,
+         CAST(c_custkey % 180 AS DOUBLE) - 90.0 + 0.5 AS lat,
+         CAST((c_custkey * 7) % 360 AS DOUBLE) - 180.0 + 0.5 AS lon,
+         least(CAST(floor(((CAST(c_custkey % 180 AS DOUBLE) - 90.0 + 0.5) + 90.0)
+                          / 180.0 * 4096) AS BIGINT), 4095) AS latq,
+         least(CAST(floor(((CAST((c_custkey * 7) % 360 AS DOUBLE) - 180.0 + 0.5) + 180.0)
+                          / 360.0 * 8192) AS BIGINT), 8191) AS lonq,
+         c_acctbal
+  FROM customer WHERE c_custkey <= 150
+"""
+
+
+@register("func_geohash_ops", """
+WITH prep AS (""" + _GEOHASH_PREP_SQL + """),
+ghx AS (SELECT *, """ + _geohash_terms() + """ AS ghv FROM prep)
+SELECT c_custkey, lat, lon,
+       """ + _GEOHASH_CHARS + """ AS geohash,
+       round(exp(1.0), 6) AS f_e,
+       round(pi(), 6) AS f_pi,
+       CAST(c_custkey % 7 AS BIGINT) AS f_mod,
+       CAST(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS BIGINT) AS f_gt,
+       CAST(CASE WHEN c_acctbal <= 0 THEN 1 ELSE 0 END AS BIGINT) AS f_lte,
+       CAST(CASE WHEN NOT (c_acctbal > 0) THEN 1 ELSE 0 END AS BIGINT) AS f_not
+FROM ghx
+""")
+def func_geohash_ops(spark, sf_dir):
+    """geohash(lat,lon) function query (ValueSourceParser 'geohash' ->
+    GeoHashUtils encode, precision 5) + the scalar-parser trivia tail
+    (e, pi, mod, gt/lte/not — ValueSourceParser.java:82 DualFloat/Bool
+    registrations). The 25-bit lat/lon interleave and base-32 chars
+    are ONE SQL arithmetic string evaluated verbatim by BOTH engines
+    (Spark F.expr == DuckDB), so encode parity is by construction;
+    everything stays in codegen, map-only."""
+    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") <= 150)
+    lat = (F.col("c_custkey") % 180).cast("double") - 90.0 + 0.5
+    lon = ((F.col("c_custkey") * 7) % 360).cast("double") - 180.0 + 0.5
+    prep = c.select(
+        "c_custkey", lat.alias("lat"), lon.alias("lon"),
+        F.least(F.floor((lat + 90.0) / 180.0 * 4096).cast("bigint"),
+                F.lit(4095)).alias("latq"),
+        F.least(F.floor((lon + 180.0) / 360.0 * 8192).cast("bigint"),
+                F.lit(8191)).alias("lonq"),
+        "c_acctbal",
+    )
+    ghx = prep.withColumn("ghv", F.expr(_geohash_terms()))
+    return ghx.select(
+        "c_custkey", "lat", "lon",
+        F.expr(_GEOHASH_CHARS).alias("geohash"),
+        F.expr("round(exp(1.0), 6)").alias("f_e"),
+        F.expr("round(pi(), 6)").alias("f_pi"),
+        (F.col("c_custkey") % 7).cast("bigint").alias("f_mod"),
+        F.when(F.col("c_acctbal") > 0, 1).otherwise(0).cast("bigint").alias("f_gt"),
+        F.when(F.col("c_acctbal") <= 0, 1).otherwise(0).cast("bigint").alias("f_lte"),
+        F.when(~(F.col("c_acctbal") > 0), 1).otherwise(0).cast("bigint").alias("f_not"),
+    )
+
+
 @register("func_strdist", """
 SELECT p_partkey, p_brand,
        round(1.0 - CAST(levenshtein(p_brand, 'Brand#33') AS DOUBLE)
