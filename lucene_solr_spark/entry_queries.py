@@ -1196,6 +1196,23 @@ def features_select(spark, sf_dir):
         top_n=20)
 
 
+@register("random_stream", """
+SELECT doc_id, source, md5('rnd7' || CAST(doc_id AS VARCHAR)) AS r
+FROM documents ORDER BY r LIMIT 50
+""")
+def random_stream(spark, sf_dir):
+    """random(...) stream (solrj/io/stream/RandomStream.java:41 —
+    pseudo-random doc sample of fixed size): seeded-hash order + top-k,
+    the deterministic distributed form (same seed -> same sample on
+    both engines; the reference seeds Solr's random sort field the same
+    way). TakeOrderedAndProject — no full sort at scale."""
+    d = load(spark, sf_dir, "documents")
+    return (d.select(
+        "doc_id", "source",
+        F.md5(F.concat(F.lit("rnd7"), F.col("doc_id").cast("string"))).alias("r"))
+        .orderBy("r").limit(50))
+
+
 def _minhash_lsh_sql(num_hashes: int = 32, bands: int = 8, k: int = 3,
                      threshold: float = 0.5) -> str:
     """Full DuckDB replica of minhash_lsh_pairs: shingles -> one-md5

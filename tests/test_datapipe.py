@@ -205,3 +205,23 @@ def test_decontaminate_exact_copy_is_fully_contaminated(spark):
     assert rows[1]["contamination"] == pytest.approx(1.0)
     assert 2 not in rows
     assert rows[3]["n_contaminated"] == 1  # "the quick brown fox"
+
+
+def test_no_inferred_filter_retokenizes_explodes(spark):
+    """Plan-shape guard for the InferFiltersFromGenerate pathology: the
+    decontamination training side must tokenize each row exactly once —
+    an inner generate would let the optimizer push an inferred
+    size(arr)>0 filter below the projections and inline a second (and
+    third) tokenize into a per-row Filter (measured 15x slower)."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.datapipe.textqa import decontaminate
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "x y z w v u t s")],
+        "doc_id long, text string")
+    out = decontaminate(df.where(F.col("doc_id") == 1),
+                        df.where(F.col("doc_id") == 2), k=4)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # one split() per corpus scan side: train + eval = 2 total
+    assert plan.count("split(") == 2, plan
