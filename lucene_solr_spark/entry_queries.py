@@ -1632,6 +1632,36 @@ def text_decontam(spark, sf_dir):
               # makes >=5-grams per-doc-unique, which would test nothing
 
 
+@register("mm_byte_features", """
+WITH pos AS (
+  SELECT doc_id, length(text) AS n,
+         unicode(substring(text, i, 1)) AS byte
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, length(text))) AS i)
+),
+hist AS (
+  SELECT doc_id, n, byte, count(*) AS c
+  FROM pos GROUP BY doc_id, n, byte
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_bytes,
+       round(sum(byte * c) * 1.0 / n, 6) AS mean_byte,
+       round(sqrt(sum(byte * byte * c) * 1.0 / n
+                  - (sum(byte * c) * 1.0 / n) * (sum(byte * c) * 1.0 / n)), 6)
+         AS std_byte,
+       round(-sum((c * 1.0 / n) * ln(c * 1.0 / n)), 6) AS byte_entropy,
+       CAST(count(*) AS BIGINT) AS n_distinct_bytes
+FROM hist GROUP BY doc_id, n
+""")
+def mm_byte_features(spark, sf_dir):
+    """Codec-free multimodal feature extraction: byte-level statistics
+    (mean/std/entropy/distinct) over the binary payload through the
+    real Arrow mapInPandas stage — the oracle replays the identical
+    statistics relationally (datapipe/multimodal.py byte_features).
+    ASCII corpus => code points == bytes on both engines."""
+    return _mm.byte_features(load(spark, sf_dir, "documents"))
+
+
 @register("mm_binary_meta", """
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

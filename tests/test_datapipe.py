@@ -225,3 +225,28 @@ def test_no_inferred_filter_retokenizes_explodes(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     # one split() per corpus scan side: train + eval = 2 total
     assert plan.count("split(") == 2, plan
+
+
+def test_byte_features_match_numpy(spark):
+    """byte_features through the Arrow stage equals a direct numpy
+    computation on the raw payload (the oracle-independent check)."""
+    import numpy as np
+
+    from lucene_solr_spark.datapipe.multimodal import byte_features
+
+    texts = [(1, "hello world"), (2, "aaaaaaaa"), (3, "")]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in byte_features(df).collect()}
+    for did, t in texts:
+        arr = np.frombuffer(t.encode(), dtype=np.uint8)
+        if arr.size == 0:
+            assert rows[did]["n_bytes"] == 0
+            assert rows[did]["byte_entropy"] == 0.0
+            continue
+        counts = np.bincount(arr, minlength=256).astype(float)
+        p = counts[counts > 0] / arr.size
+        assert rows[did]["n_bytes"] == arr.size
+        assert rows[did]["mean_byte"] == round(float(arr.mean()), 6)
+        assert rows[did]["std_byte"] == round(float(arr.astype(float).std()), 6)
+        assert rows[did]["byte_entropy"] == round(float(-(p * np.log(p)).sum()), 6)
+        assert rows[did]["n_distinct_bytes"] == int((counts > 0).sum())
