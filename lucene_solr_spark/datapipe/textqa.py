@@ -57,9 +57,16 @@ def quality_score(df: DataFrame, text_col: str = "text",
     length/stopword/character-class heuristics; quality in [0,1] =
     min(1, n_tokens/64) * (1 - |stop_ratio - 0.4|). All ratios are
     int/int doubles — bit-deterministic."""
-    toks = tokens_array(F.col(text_col))
-    n_chars = F.length(F.col(text_col))
-    n_alnum = F.length(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", ""))
+    # tokenize ONCE into a column: computing every ratio straight off
+    # tokens_array(text) in one select inlines the tokenizer into each
+    # of its six references (Catalyst only CSEs behind a projection
+    # boundary kept by CollapseProject's used-more-than-once rule)
+    tok_df = df.select(F.col(id_col).alias("doc_id"),
+                       F.col(text_col).alias("_text"),
+                       tokens_array(F.col(text_col)).alias("_toks"))
+    toks = F.col("_toks")
+    n_chars = F.length(F.col("_text"))
+    n_alnum = F.length(F.regexp_replace(F.lower(F.col("_text")), "[^a-z0-9]", ""))
     n_tokens = F.size(toks)
     stop_hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
     stop_ratio = F.when(n_tokens > 0, stop_hits.cast("double") / n_tokens.cast("double")).otherwise(F.lit(0.0))
@@ -67,8 +74,8 @@ def quality_score(df: DataFrame, text_col: str = "text",
     quality = F.least(F.lit(1.0), n_tokens.cast("double") / F.lit(64.0)) * (
         F.lit(1.0) - F.abs(stop_ratio - F.lit(0.4))
     )
-    return df.select(
-        F.col(id_col).alias("doc_id"),
+    return tok_df.select(
+        "doc_id",
         n_chars.cast("long").alias("n_chars"),
         n_tokens.cast("long").alias("n_tokens"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
@@ -83,18 +90,23 @@ def token_counts(df: DataFrame, group_col: str = "source",
     tokens, BPE-ish subword estimate (ceil(chars/4) per word token —
     the standard chars/4 rule of thumb), total chars. Integer sums —
     exact at any scale (one partial+final agg)."""
-    ws_tokens = F.size(F.filter(F.split(F.col(text_col), "\\s+"), lambda x: x != F.lit("")))
-    an_tokens = F.size(tokens_array(F.col(text_col)))
+    # analyzer tokens materialized once (used by an_tokens AND the
+    # bpe fold — inline, the tokenizer would run twice per row)
+    tok_df = df.select(F.col(group_col).alias("grp"),
+                       F.col(text_col).alias("_text"),
+                       tokens_array(F.col(text_col)).alias("_toks"))
+    ws_tokens = F.size(F.filter(F.split(F.col("_text"), "\\s+"), lambda x: x != F.lit("")))
+    an_tokens = F.size(F.col("_toks"))
     bpe_est = F.aggregate(
-        tokens_array(F.col(text_col)),
+        F.col("_toks"),
         F.lit(0).cast("bigint"),
         lambda acc, t: acc + F.ceil(F.length(t).cast("double") / F.lit(4.0)).cast("bigint"),
     )
     return (
-        df.select(
-            F.col(group_col).alias("grp"),
+        tok_df.select(
+            "grp",
             ws_tokens.alias("ws"), an_tokens.alias("an"),
-            bpe_est.alias("bpe"), F.length(F.col(text_col)).alias("ch"),
+            bpe_est.alias("bpe"), F.length(F.col("_text")).alias("ch"),
         )
         .groupBy("grp")
         .agg(
