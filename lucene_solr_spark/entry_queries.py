@@ -1196,6 +1196,28 @@ def features_select(spark, sf_dir):
         top_n=20)
 
 
+@register("ft_ltr_rerank", _ft_sql("""
+SELECT doc_id,
+       round(0.6 * f_bm25 + 0.4 * f_matched - 0.002 * l.dl + 0.1, 6) AS ltr_score,
+       round(f_bm25, 6) AS f_bm25,
+       CAST(f_matched AS BIGINT) AS f_matched,
+       CAST(l.dl AS BIGINT) AS f_dl
+FROM (
+  SELECT doc_id, f_bm25, f_matched FROM (
+    SELECT doc_id, sum(score) AS f_bm25, count(*) AS f_matched
+    FROM scored WHERE term IN ('spark', 'query', 'merge') GROUP BY doc_id
+  ) ORDER BY round(f_bm25, 6) DESC, doc_id ASC LIMIT 100
+) cand JOIN dl l USING (doc_id)
+ORDER BY ltr_score DESC, doc_id ASC LIMIT 10
+"""))
+def ft_ltr_rerank(spark, sf_dir):
+    """Learning-to-rank rescoring (contrib/ltr LTRRescorer +
+    LinearModel): BM25 top-100 first pass, candidate-only feature
+    extraction (original score / matched terms / field length), fixed
+    linear model re-sort (fulltext.py ltr_rerank)."""
+    return ft(spark, sf_dir).ltr_rerank(["spark", "query", "merge"], k=10)
+
+
 @register("random_stream", """
 SELECT doc_id, source, md5('rnd7' || CAST(doc_id AS VARCHAR)) AS r
 FROM documents ORDER BY r LIMIT 50

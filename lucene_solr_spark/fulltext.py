@@ -280,6 +280,51 @@ class FulltextIndex:
         )
         return _topk(agg.where(F.col("nm") >= min_should_match).select("doc_id", "score"), k)
 
+    def ltr_rerank(self, terms: Sequence[str], k: int = 10,
+                   first_k: int = 100,
+                   weights: Sequence[float] = (0.6, 0.4, -0.002),
+                   bias: float = 0.1) -> DataFrame:
+        """Learning-to-rank re-ranking (contrib/ltr
+        LTRRescorer.java:60-131 rescore-the-top-k window +
+        model/LinearModel.java:80 dot-product scoring): a first-pass
+        BM25 disjunction retrieves `first_k` candidates; three features
+        are extracted for the CANDIDATES ONLY (first-pass BM25 sum,
+        matched-query-term count, document length — the
+        OriginalScoreFeature / SolrFeature / FieldLengthFeature
+        analogs); a fixed linear model re-scores and re-sorts.
+
+        Scale shape: the expensive retrieval is the normal top-k path;
+        feature extraction and model scoring touch first_k rows (the
+        candidate set broadcast into the dl join), exactly the
+        reference's rescore-window contract — model cost never scales
+        with corpus size."""
+        sc = self.scored_postings(terms)
+        agg = sc.groupBy("doc_id").agg(
+            F.sum("score").alias("f_bm25"),
+            F.count(F.lit(1)).alias("f_matched"),
+        )
+        cand = (
+            agg.orderBy(F.desc(F.round(F.col("f_bm25"), 6)), F.asc("doc_id"))
+            .limit(first_k)
+        )
+        dl = doc_lengths(self.df, self.text_col, self.id_col, self.stop)
+        feats = F.broadcast(cand).join(dl, "doc_id")
+        w0, w1, w2 = (float(w) for w in weights)
+        ltr = (F.lit(w0) * F.col("f_bm25")
+               + F.lit(w1) * F.col("f_matched")
+               + F.lit(w2) * F.col("dl") + F.lit(float(bias)))
+        return (
+            feats.select(
+                "doc_id",
+                F.round(ltr, 6).alias("ltr_score"),
+                F.round(F.col("f_bm25"), 6).alias("f_bm25"),
+                F.col("f_matched").cast("bigint").alias("f_matched"),
+                F.col("dl").cast("bigint").alias("f_dl"),
+            )
+            .orderBy(F.desc("ltr_score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def boolean_not(self, must: Sequence[str], must_not: Sequence[str],
                     k: int = 10) -> DataFrame:
         """MUST + MUST_NOT (ReqExclScorer -> left_anti join)."""
