@@ -1218,6 +1218,51 @@ def ft_ltr_rerank(spark, sf_dir):
     return ft(spark, sf_dir).ltr_rerank(["spark", "query", "merge"], k=10)
 
 
+@register("events_sessionize", """
+WITH s AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM g GROUP BY user_id, sid
+""")
+def events_sessionize(spark, sf_dir):
+    """Gap-based event sessionization (10-minute inactivity gap) via
+    Spark's native session_window — the stateful session-merge operator
+    Structured Streaming uses for streaming sessions, here over the
+    batch table (one shuffle on user_id; the streaming variant is the
+    same expression behind readStream). The oracle replays the
+    identical semantics as gaps-and-islands (lag + running sum):
+    session_window's [start, start+gap) merge rule == a session break
+    at gap >= 10 min. A training pipeline uses this shape to segment
+    interaction logs into documents/episodes."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).cast("bigint")
+            .alias("session_start_s"),
+            "n_events", "sum_value")
+    )
+
+
 @register("random_stream", """
 SELECT doc_id, source, md5('rnd7' || CAST(doc_id AS VARCHAR)) AS r
 FROM documents ORDER BY r LIMIT 50
