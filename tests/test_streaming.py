@@ -176,3 +176,47 @@ def test_streaming_first_seen_dedup(spark, tmp_path_factory):
     # a: min seq within batch 0; b: batch-0 row wins over batch-1 dup;
     # c: arrives in batch 1
     assert rows == {"a": (1, "a1"), "b": (2, "b2"), "c": (5, "c5")}
+
+
+def test_sessionize_streaming_matches_batch(spark, tmp_path_factory):
+    """session_window sessions computed through a real stream
+    (availableNow file source + watermark) equal the batch run — the
+    streaming form of the events_sessionize entry."""
+    from pyspark.sql import functions as F
+
+    base = tmp_path_factory.mktemp("stream_sess")
+    src = str(base / "src")
+    os.makedirs(src)
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+
+    def sessions(df):
+        return (
+            df.groupBy("user_id",
+                       F.session_window("ts", "10 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("sum_value"))
+            .select("user_id",
+                    F.unix_timestamp(F.col("w.start")).cast("bigint")
+                    .alias("session_start_s"),
+                    "n_events", "sum_value")
+        )
+
+    # parquet reads the column as TIMESTAMP_NTZ; watermarks need TIMESTAMP
+    sdf = (spark.readStream.schema(events.schema).parquet(src)
+           .withColumn("ts", F.col("ts").cast("timestamp"))
+           .withWatermark("ts", "1 hour"))
+    q = (
+        sessions(sdf).writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(base / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = (spark.table("sessions_stream")
+           .orderBy("user_id", "session_start_s").collect())
+    want = sessions(events).orderBy("user_id", "session_start_s").collect()
+    assert len(got) == len(want) > 0
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
