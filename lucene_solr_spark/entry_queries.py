@@ -1218,6 +1218,49 @@ def ft_ltr_rerank(spark, sf_dir):
     return ft(spark, sf_dir).ltr_rerank(["spark", "query", "merge"], k=10)
 
 
+@register("math_eval_knn_regression", """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+d AS (
+  SELECT vec_id, CAST(label AS DOUBLE) AS y,
+         sqrt(list_sum(list_transform(generate_series(1, 64),
+              i -> pow(CAST(e.embedding[i] AS DOUBLE) - CAST(q.qe[i] AS DOUBLE), 2))))
+           AS dist
+  FROM embeddings e, q WHERE e.vec_id <> 0
+),
+nn AS (SELECT * FROM d ORDER BY round(dist, 6) ASC, vec_id ASC LIMIT 8)
+SELECT CAST(count(*) AS BIGINT) AS k,
+       round(avg(y), 6) AS y_hat,
+       round(max(dist), 6) AS max_dist,
+       round(min(dist), 6) AS min_dist
+FROM nn
+""")
+def math_eval_knn_regression(spark, sf_dir):
+    """knn() + knnRegression() evaluators (solrj/io/eval
+    KnnEvaluator / KnnRegressionEvaluator.java:41 — nearest-neighbor
+    mean prediction): the 8 nearest embeddings to the broadcast query
+    vector (vec_id 0) by euclidean distance predict its label as their
+    mean. Distance is one zip_with fold per row (map-only after the
+    1-row broadcast), neighbor selection is TakeOrderedAndProject —
+    no full sort, no shuffle of the corpus."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    d = (emb.where(F.col("vec_id") != 0)
+         .crossJoin(F.broadcast(q))
+         .select(
+             "vec_id", F.col("label").cast("double").alias("y"),
+             F.sqrt(F.aggregate(
+                 F.zip_with("embedding", "qe",
+                            lambda a, b: F.pow(a.cast("double") - b.cast("double"), 2)),
+                 F.lit(0.0), lambda acc, x: acc + x)).alias("dist")))
+    nn = d.orderBy(F.round(F.col("dist"), 6).asc(), F.col("vec_id").asc()).limit(8)
+    return nn.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.round(F.avg("y"), 6).alias("y_hat"),
+        F.round(F.max("dist"), 6).alias("max_dist"),
+        F.round(F.min("dist"), 6).alias("min_dist"),
+    )
+
+
 @register("events_sessionize", """
 WITH s AS (
   SELECT user_id, ts, event_id, value,
