@@ -1261,6 +1261,37 @@ def math_eval_knn_regression(spark, sf_dir):
     )
 
 
+@register("math_eval_outliers", """
+WITH q AS (
+  SELECT quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+  FROM events
+)
+SELECT e.event_id, round(e.value, 6) AS value,
+       CASE WHEN e.value > q.q3 + 1.5 * (q.q3 - q.q1) THEN 'high'
+            ELSE 'low' END AS side
+FROM events e, q
+WHERE e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+   OR e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+""")
+def math_eval_outliers(spark, sf_dir):
+    """outliers() evaluator (solrj/io/eval OutliersEvaluator — the
+    Tukey 1.5*IQR fence): events whose value falls outside
+    [q1 - 1.5*IQR, q3 + 1.5*IQR]. The quartiles are ONE global
+    aggregate (Spark's interpolated percentile == DuckDB quantile_cont,
+    probed bit-equal) broadcast as a 1-row cross join; the fence test
+    is then map-only over the scan."""
+    ev = load(spark, sf_dir, "events")
+    q = ev.agg(F.expr("percentile(value, 0.25)").alias("q1"),
+               F.expr("percentile(value, 0.75)").alias("q3"))
+    j = ev.crossJoin(F.broadcast(q))
+    iqr = F.col("q3") - F.col("q1")
+    hi, lo = F.col("q3") + 1.5 * iqr, F.col("q1") - 1.5 * iqr
+    return (j.where((F.col("value") > hi) | (F.col("value") < lo))
+            .select("event_id", F.round("value", 6).alias("value"),
+                    F.when(F.col("value") > hi, "high").otherwise("low")
+                    .alias("side")))
+
+
 @register("events_sessionize", """
 WITH s AS (
   SELECT user_id, ts, event_id, value,
