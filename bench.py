@@ -197,6 +197,7 @@ def main() -> None:
     # runs). Median of 3 per variant, alternating variants per rep.
     lat_ms = []
     wand_pairs = {"bm25_term": "bm25_term_wand", "bm25_or": "bm25_or_wand"}
+    plans: dict[str, dict] = {}
     for name, q in bm25_queries.items():
         reps, reps_w = [], []
         # 5 paired reps for the wand comparisons (sub-second walls,
@@ -206,14 +207,19 @@ def main() -> None:
             searcher.search(q, k=10)
             reps.append(time.time() - t0)
             if name in wand_pairs:
+                # prune="auto": the cost gate picks WAND or exhaustive
+                # from the persisted block-UB sketch (rank-identical
+                # either way; tests/test_wand.py). The *_wand label
+                # times the CHOSEN plan — the engine never runs a
+                # pruned plan the model says can't pay.
                 t0 = time.time()
-                searcher.search(q, k=10, prune=True)
+                searcher.search(q, k=10, prune="auto")
                 reps_w.append(time.time() - t0)
+                plans[wand_pairs[name]] = searcher.last_plan
         dt = sorted(reps)[len(reps) // 2]  # median (host speed fluctuates)
         timings[name] = round(dt, 3)
         lat_ms.append(dt * 1000)
         if reps_w:
-            # rank-identical pruned path; see tests/test_wand.py
             timings[wand_pairs[name]] = round(sorted(reps_w)[len(reps_w) // 2], 3)
     lat_ms.sort()
     p50_ms = lat_ms[len(lat_ms) // 2]
@@ -255,6 +261,7 @@ def main() -> None:
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "index_build": index_build,
         "query_p50_ms": round(p50_ms, 1),
+        "wand_plans": plans,
         "host_ctl": {"pre": ctl_pre, "post": round(_host_ctl(CPUS), 3),
                      "healthy": "~2.5-3.1 per-proc; collapsed windows ~0.3"},
     }

@@ -77,7 +77,53 @@ def invert_schema(field_specs: Optional[List[FieldSpec]],
         out += ", content string"
     return out
 
-def compute_term_stats(blocks):
+def _block_best_expr(avgdl: float, norms_mode: str):
+    """SQL expression for a block's canonical impact summary: struct
+    ('s', 'tf', 'dl') where s = BM25 tf-saturation (k1=1.2, b=0.75,
+    the defaults; dl from the norm under `norms_mode`) maximized over
+    the block's REALIZED competitive-impact frontier, and (tf, dl) is
+    the frontier pair achieving it. Falls back to the decoupled
+    (max_tf, min_norm) bound for pre-impact blocks. The (tf, dl) pair
+    is stored — not the saturation value — so a query can re-evaluate
+    the bound under its own avgdl/similarity params."""
+    from ..smallfloat import LENGTH_TABLE
+
+    if norms_mode == "byte":
+        lt = "array(" + ",".join(
+            f"{float(v)}D" for v in LENGTH_TABLE.tolist()) + ")"
+
+        def dl(col: str) -> str:
+            return f"element_at({lt}, (({col} % 256) + 256) % 256 + 1)"
+    else:
+        def dl(col: str) -> str:
+            return f"CAST({col} AS DOUBLE)"
+
+    def nv(col: str) -> str:
+        return f"(1.2D * (0.25D + 0.75D * {dl(col)} / {float(avgdl)}D))"
+
+    def sat(tfcol: str, normcol: str) -> str:
+        return f"(CAST({tfcol} AS DOUBLE) / ({tfcol} + {nv(normcol)}))"
+
+    return (
+        "CASE WHEN imp_tf IS NOT NULL AND size(imp_tf) > 0 THEN "
+        "aggregate(arrays_zip(imp_tf, imp_norm), "
+        "named_struct('s', CAST(-1.0 AS DOUBLE), 'tf', CAST(0 AS BIGINT), "
+        "'dl', CAST(0.0 AS DOUBLE)), "
+        f"(acc, p) -> CASE WHEN {sat('p.imp_tf', 'p.imp_norm')} > acc.s "
+        f"THEN named_struct('s', {sat('p.imp_tf', 'p.imp_norm')}, "
+        "'tf', CAST(p.imp_tf AS BIGINT), "
+        f"'dl', CAST({dl('p.imp_norm')} AS DOUBLE)) ELSE acc END) "
+        f"ELSE named_struct('s', {sat('max_tf', 'min_norm')}, "
+        "'tf', CAST(max_tf AS BIGINT), "
+        f"'dl', CAST({dl('min_norm')} AS DOUBLE)) END"
+    )
+
+
+N_UB_QUANTILES = 17  # order statistics kept per term (0/16 .. 16/16)
+
+
+def compute_term_stats(blocks, avgdl: Optional[float] = None,
+                       norms_mode: Optional[str] = None):
     """Per-term stats from block metadata: (df, ttf) for scoring plus
     the WAND bound inputs — decoupled global (gmax_tf, gmin_norm) for
     old-format compatibility AND the per-term GLOBAL competitive-impact
@@ -87,20 +133,33 @@ def compute_term_stats(blocks):
     max over pairs of score(tf, norm) equals the max over ALL blocks'
     impact bounds (CompetitiveImpactAccumulator.java:30 merged across
     the whole term, persisted so pruned searches need no metadata job).
-    Pure metadata SQL — blob bytes never leave disk (column pruning)."""
+    Pure metadata SQL — blob bytes never leave disk (column pruning).
+
+    When (avgdl, norms_mode) are given, additionally persists the
+    cost-gate sketch: gnblocks = the term's block count and
+    (gq_tf, gq_dl) = N_UB_QUANTILES equally-spaced order statistics of
+    the per-block frontier upper bound, stored as the REALIZED (tf, dl)
+    pair at each quantile so queries re-evaluate the bound under their
+    own parameters. This is the driver-side input that lets the planner
+    estimate a pruned search's decode fraction with zero query-time
+    metadata jobs (the access-path cost model of Lucene's
+    IndexOrDocValuesQuery.java:52 / BooleanWeight.java:317, applied to
+    WAND-vs-exhaustive plan choice)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    stats = blocks.groupBy("term").agg(
+    aggs = [
         F.sum("n").alias("df"), F.sum("sum_tf").alias("ttf"),
         F.max("max_tf").alias("gmax_tf"), F.min("min_norm").alias("gmin_norm"),
-    )
+        F.count(F.lit(1)).alias("gnblocks"),
+    ]
+    stats = blocks.groupBy("term").agg(*aggs)
     if "imp_tf" not in blocks.columns:
         return stats
     ex = blocks.select(
         "term", F.explode_outer(F.arrays_zip("imp_norm", "imp_tf")).alias("p")
-    ).select("term", F.col("p.imp_norm").alias("nb"), F.col("p.imp_tf").alias("tf")
-             ).where(F.col("nb").isNotNull())
+    ).where(F.col("p").isNotNull()).select(
+        "term", F.col("p.imp_norm").alias("nb"), F.col("p.imp_tf").alias("tf"))
     g = ex.groupBy("term", "nb").agg(F.max("tf").alias("tf"))
     # Pareto reduction: keep (nb, tf) only when tf beats every pair at
     # a smaller-or-equal norm (shorter doc) — dominated pairs can never
@@ -115,7 +174,35 @@ def compute_term_stats(blocks):
         .select("term", F.col("z.nb").alias("gimp_norm"),
                 F.col("z.tf").alias("gimp_tf"))
     )
-    return stats.join(gimp, "term", "left")
+    out = stats.join(gimp, "term", "left")
+    if avgdl is None or norms_mode is None or avgdl <= 0:
+        return out
+    # cost-gate sketch: equally-spaced order statistics of per-block
+    # frontier UB, canonical ordering = BM25 defaults at this segment's
+    # avgdl. Window + groupBy share the hash partitioning on `term`
+    # (one exchange); metadata columns only, blobs never read.
+    nq = N_UB_QUANTILES
+    bl = blocks.select(
+        "term", F.expr(_block_best_expr(avgdl, norms_mode)).alias("bb"))
+    wq = Window.partitionBy("term").orderBy(
+        F.col("bb.s").asc(), F.col("bb.tf").asc())
+    ranked = bl.select(
+        "term", "bb", F.row_number().over(wq).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("term")).alias("cnt"))
+    qsel = ranked.where(
+        (F.col("cnt") <= nq) | F.expr(
+            f"array_contains(transform(sequence(0, {nq - 1}), "
+            f"i -> CAST(round(i * (cnt - 1) / {nq - 1}.0) AS INT) + 1), rn)"))
+    gq = (
+        qsel.groupBy("term").agg(
+            F.sort_array(F.collect_list(F.struct(
+                F.col("bb.s").alias("s"), F.col("rn").alias("rn"),
+                F.col("bb.tf").alias("tf"), F.col("bb.dl").alias("dl")
+            ))).alias("z"))
+        .select("term", F.expr("transform(z, x -> x.tf)").alias("gq_tf"),
+                F.expr("transform(z, x -> x.dl)").alias("gq_dl"))
+    )
+    return out.join(gq, "term", "left")
 
 
 CHUNK_BITS = 13  # 8192-doc chunks: the unit of mega-term splitting
@@ -497,17 +584,6 @@ def build_segment(
     inverted.write.mode("overwrite").partitionBy("kind").parquet(inv_path)
     phases["invert_write"] = round(time.time() - tp, 2)
 
-    # two-level term stats: per-block metadata -> per-term (reads only
-    # the small metadata columns back from the written postings)
-    tp = time.time()
-    blocks = spark.read.parquet(manifest_mod.postings_path(seg_dir))
-    # per-term GLOBAL block-max + impact-table inputs — the WAND slack
-    # bound reads them straight from term_stats (no per-query metadata
-    # job; Ding & Suel 2011 block-max table, persisted)
-    term_stats = compute_term_stats(blocks)
-    term_stats.write.mode("overwrite").parquet(os.path.join(seg_dir, "term_stats.parquet"))
-    phases["stats"] = round(time.time() - tp, 2)
-
     meta = spark.read.parquet(manifest_mod.doc_meta_path(seg_dir))
     aggs = [F.count(F.lit(1)).alias("doc_count"), F.sum("length").alias("sum_dl")]
     if field_specs:
@@ -519,6 +595,25 @@ def build_segment(
                 F.sum((F.col(c) > 0).cast("long")).alias(f"dc_{fs.name}")
             )
     counters_row = meta.agg(*aggs).collect()[0]
+
+    # two-level term stats: per-block metadata -> per-term (reads only
+    # the small metadata columns back from the written postings)
+    tp = time.time()
+    blocks = spark.read.parquet(manifest_mod.postings_path(seg_dir))
+    # per-term GLOBAL block-max + impact-table inputs — the WAND slack
+    # bound reads them straight from term_stats (no per-query metadata
+    # job; Ding & Suel 2011 block-max table, persisted). The cost-gate
+    # quantile sketch needs this segment's avgdl (canonical UB
+    # ordering); multi-field builds skip it (per-field avgdl differs —
+    # the pruned OR path is single-field).
+    avgdl_seg = None
+    if not field_specs and counters_row["doc_count"]:
+        avgdl_seg = float(counters_row["sum_dl"] or 0) / float(
+            counters_row["doc_count"])
+    term_stats = compute_term_stats(blocks, avgdl=avgdl_seg,
+                                    norms_mode=None if field_specs else norms)
+    term_stats.write.mode("overwrite").parquet(os.path.join(seg_dir, "term_stats.parquet"))
+    phases["stats"] = round(time.time() - tp, 2)
 
     # per-row integrity: recompute sha with Spark's JVM-side sha2 over the
     # source and compare against the python-hashlib values in doc_meta
@@ -628,6 +723,7 @@ def build_index(
         with lock:
             manifest = mstore.load()
             manifest.index_sort = effective_sort
+            manifest.norms = norms
             manifest.next_doc_id = max(
                 manifest.next_doc_id, doc_base + counters["doc_count"])
             manifest.segments.append(

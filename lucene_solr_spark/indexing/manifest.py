@@ -80,6 +80,11 @@ class Manifest:
     # this column order, so per-segment physical doc order == sort
     # order and sorted top-k can early-terminate (collectors.py).
     index_sort: Optional[List[str]] = None
+    # norm encoding of the index ('byte' = Lucene intToByte4 quantized,
+    # 'exact' = raw field length). Recorded so merges can decode
+    # min_norm -> doc length when recomputing the per-term block-UB
+    # quantile sketch (cost-gate inputs). None on pre-sketch manifests.
+    norms: Optional[str] = None
 
     @property
     def total_docs(self) -> int:
@@ -134,6 +139,7 @@ class ManifestStore:
             lineage=raw.get("lineage", []),
             next_doc_id=int(raw.get("next_doc_id", fallback_hwm)),
             index_sort=raw.get("index_sort"),
+            norms=raw.get("norms"),
         )
 
     def commit(self, manifest: Manifest, lineage_entry: Optional[dict] = None) -> Manifest:
@@ -149,6 +155,7 @@ class ManifestStore:
                 "segments": [asdict(s) for s in manifest.segments],
                 "next_doc_id": manifest.next_doc_id,
                 "index_sort": manifest.index_sort,
+                "norms": manifest.norms,
                 "lineage": manifest.lineage,
                 "counters": {
                     "total_docs": manifest.total_docs,

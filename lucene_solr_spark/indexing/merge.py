@@ -253,7 +253,21 @@ def _merge_data(spark, store: ManifestStore, inputs: List[SegmentInfo],
     repacked.write.mode("overwrite").parquet(os.path.join(out_dir, "postings.parquet"))
 
     new_blocks = spark.read.parquet(os.path.join(out_dir, "postings.parquet"))
-    compute_term_stats(new_blocks).write.mode("overwrite").parquet(
+    # cost-gate quantile sketch inputs: canonical avgdl from the input
+    # segments' persisted counters (deleted docs' lengths are still in
+    # sum_dl — canonical ORDERING tolerance, query-time bounds are
+    # re-evaluated under the live avgdl); norms mode from the manifest
+    # (None on pre-norms-field manifests -> sketch skipped, legacy OK).
+    in_docs = sum(s.doc_count for s in inputs)
+    in_dl = sum(s.sum_dl for s in inputs)
+    norms_mode = store.load().norms
+    is_multifield = any(s.field_stats for s in inputs)
+    avgdl_m = (float(in_dl) / in_docs
+               if in_docs and norms_mode and not is_multifield else None)
+    compute_term_stats(
+        new_blocks, avgdl=avgdl_m,
+        norms_mode=None if is_multifield else norms_mode,
+    ).write.mode("overwrite").parquet(
         os.path.join(out_dir, "term_stats.parquet"))
 
     meta = spark.read.parquet(*[doc_meta_path(d) for d in in_dirs])

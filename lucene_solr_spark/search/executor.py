@@ -108,7 +108,10 @@ class IndexReader:
         # old segments read pblob as null
         self.blocks = (spark.read.option("mergeSchema", "true")
                        .parquet(*[postings_path(d) for d in segs]))
-        self.stats = spark.read.parquet(*[f"{d}/term_stats.parquet" for d in segs])
+        # mergeSchema: stats straddle format generations too (impact
+        # tables, cost-gate quantile sketch) — old segments null-fill
+        self.stats = (spark.read.option("mergeSchema", "true")
+                      .parquet(*[f"{d}/term_stats.parquet" for d in segs]))
         self.doc_meta = spark.read.parquet(*[doc_meta_path(d) for d in segs])
         # liveDocs: tombstones filter matches at collect time; stats
         # intentionally still count deleted docs (Lucene semantics —
@@ -245,6 +248,15 @@ class IndexReader:
                     F.collect_list(F.struct("gimp_norm", "gimp_tf")).alias("gimps"),
                     F.count("gimp_tf").alias("n_gi"),
                 ]
+            if "gq_tf" in self.stats.columns:
+                # cost-gate quantile sketch, per segment: (block count,
+                # UB order-statistic (tf, dl) pairs). Merged driver-side
+                # by term_cost_stats; count guard as above.
+                aggs += [
+                    F.collect_list(
+                        F.struct("gnblocks", "gq_tf", "gq_dl")).alias("gqs"),
+                    F.count("gq_tf").alias("n_gq"),
+                ]
         rows = (
             self.stats.where(F.col("term").isin(list(terms)))
             .groupBy("term").agg(*aggs).collect()
@@ -301,6 +313,42 @@ class IndexReader:
                     ks = sorted(acc)
                     imp = (ks, [acc[nb] for nb in ks])
             out[r["term"]] = (int(r["mt"]), int(r["mn"]), imp)
+        return out
+
+    def term_cost_stats(
+        self, terms: List[str]
+    ) -> Optional[Dict[str, Tuple[np.ndarray, np.ndarray, np.ndarray]]]:
+        """Per-term block-UB distribution for the access-path cost gate:
+        {term: (tf, dl, weight)} where (tf[i], dl[i]) are realized
+        frontier pairs at equally-spaced order statistics of the
+        per-block upper bound and weight[i] = blocks represented by
+        point i. Merged across segments driver-side (each segment's
+        points carry weight nblocks_seg / npoints_seg — an empirical
+        mixture, exact when every block is a point). None when any
+        live segment predates the sketch columns (builder.py
+        compute_term_stats) — callers fall back to un-gated behavior.
+        Served from the same single collect as term_stats."""
+        if not terms or "gq_tf" not in self.stats.columns:
+            return None
+        want = set(terms)
+        rows = [r for r in self._term_stats_rows(tuple(sorted(set(terms))))
+                if r["term"] in want]
+        out: Dict[str, Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        for r in rows:
+            d = r.asDict()
+            if "n_gq" not in d or d["n_gq"] != d["n_rows"]:
+                return None  # at least one segment lacks the sketch
+            tfs, dls, wts = [], [], []
+            for seg in r["gqs"]:
+                nb, qtf, qdl = seg["gnblocks"], seg["gq_tf"], seg["gq_dl"]
+                if qtf is None or qdl is None or not len(qtf):
+                    return None
+                w = float(nb) / len(qtf)
+                tfs.append(np.asarray(qtf, dtype=np.float64))
+                dls.append(np.asarray(qdl, dtype=np.float64))
+                wts.append(np.full(len(qtf), w, dtype=np.float64))
+            out[r["term"]] = (np.concatenate(tfs), np.concatenate(dls),
+                              np.concatenate(wts))
         return out
 
     def expand(self, q: MultiTermQuery, max_terms: int = 4096) -> List[str]:
@@ -406,6 +454,7 @@ class MultiReader:
     _term_stats_rows = IndexReader._term_stats_rows
     term_stats = IndexReader.term_stats
     term_wand_stats = IndexReader.term_wand_stats
+    term_cost_stats = IndexReader.term_cost_stats
     collection_stats = IndexReader.collection_stats
     expand = IndexReader.expand
 
@@ -430,6 +479,9 @@ class Searcher:
         self.precision = precision
         self.default_field = default_field
         self.query_cache = query_cache
+        # access-path decision of the last search(prune="auto") call
+        # (plan_pruned_or output), for bench/test introspection
+        self.last_plan = None
 
     def _with_default_field(self, q: Query) -> Query:
         if self.default_field is None:
@@ -2351,6 +2403,126 @@ class Searcher:
         finally:
             ubdf.unpersist()
 
+    # -- access-path cost model (WAND vs exhaustive, Lucene's
+    # IndexOrDocValuesQuery.java:52 / BooleanWeight.java:317 analog) ----------
+    # Decoded-postings throughput of the pruned partition kernel (python
+    # block-at-a-time descent loop) vs the exhaustive vectorized
+    # decode+hash-agg plan, and the fixed cost of one extra job wave
+    # (scheduler + filtered scan on a warm session). Calibrated against
+    # the measured r4/sf1 walls: term-WAND sf1 decoded 8.5% of 1.9M
+    # postings in ~0.28s variable time; exhaustive paid ~0.95s for the
+    # full 1.9M; the OR rare-prefetch wave costs ~0.5s.
+    PLAN_LOOP_RATE = 550_000.0   # pruned decode, postings/sec
+    PLAN_VEC_RATE = 2_800_000.0  # exhaustive decode+agg, postings/sec
+    PLAN_WAVE_S = 0.45           # one extra job wave, seconds
+    # blocks the descent decodes while theta converges (probe + refresh
+    # lag), regardless of how prunable the tail is — measured ~70-660
+    # across the 200k/2M calibration queries; charged once per search
+    PLAN_OVERHEAD_BLOCKS = 500.0
+    # theta estimate = this weighted quantile of the best term's
+    # block-UB distribution: the true k-th doc score provably sits at
+    # or above the k-th best block UB (each block's frontier bound is
+    # REALIZED by a doc in it), and for k << 128 that is inside the
+    # top 1/16 order-statistic segment of the sketch
+    PLAN_THETA_QUANTILE = 1.0 - 1.0 / 16.0
+
+    def plan_pruned_or(self, terms_with_boost: List[Tuple[str, float]],
+                       k: int) -> dict:
+        """Cost-based access-path choice for a term / OR-of-terms top-k:
+        estimate the pruned (block-max WAND) plan's decode fraction from
+        the PERSISTED per-term block-UB quantile sketch (term_stats
+        gq_tf/gq_dl — zero extra jobs; the stats ride the same collect
+        the weights need), simulate which pruning machinery would engage
+        (rare prefetch, aligned slack — mirroring _search_pruned_or's
+        gates), and compare modeled wall costs. Returns a dict with
+        'use_wand' plus the estimates (kept on self.last_plan for bench
+        and test introspection). Missing sketch (old index) =>
+        use_wand=True (the legacy always-prune-when-asked behavior)."""
+        clause_terms = [(i, t, b) for i, (t, b) in enumerate(terms_with_boost)]
+        winfo, ub_wv, _ = self._per_clause_params(clause_terms)
+        legacy = {"use_wand": True, "reason": "no-cost-stats"}
+        cost = self.reader.term_cost_stats(sorted(ub_wv))
+        if cost is None or any(t not in cost for t in ub_wv):
+            return legacy
+        gws = self.reader.term_wand_stats(sorted(ub_wv))
+        if gws is None or any(t not in gws for t in ub_wv):
+            return legacy
+        gmax = {t: self._term_global_ub(t, winfo, ub_wv[t], gws[t])
+                for t in ub_wv}
+        anykey = {t: next(kk for kk in winfo if kk.startswith(t + "\x00"))
+                  for t in ub_wv}
+        df_of = {t: winfo[anykey[t]].get("df", 0) for t in ub_wv}
+        total_post = float(sum(df_of.values()))
+        if total_post <= 0:
+            return {"use_wand": True, "reason": "empty"}
+
+        # mirror _search_pruned_or's machinery gates
+        rare: set = set()
+        prefetch = False
+        if len(ub_wv) > 1:
+            max_df = max(df_of.values())
+            cand = set(t for t in ub_wv if 0 < df_of[t] * 2 <= max_df)
+            common_df = sum(df_of[t] for t in ub_wv if t not in cand)
+            if common_df < self.WAND_PREFETCH_MIN_COMMON_POSTINGS:
+                cand = set()
+            if cand and cand != set(ub_wv):
+                rare, prefetch = cand, True
+        common = [t for t in ub_wv if t not in rare]
+        aligned = (len(common) > 1
+                   and sum(df_of[t] for t in common)
+                   >= self.WAND_ALIGNED_MIN_COMMON_POSTINGS)
+
+        # per-term block-UB points under the QUERY's weights/avgdl
+        upoints: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+        for t in ub_wv:
+            qtf, qdl, qw = cost[t]
+            w = winfo[anykey[t]]
+            avgdl = float(w.get("avgdl") or w.get("avgdl32"))
+            nv = 1.2 * (0.25 + 0.75 * qdl / avgdl)
+            u = float(ub_wv[t]) * qtf / (qtf + nv)
+            order = np.argsort(u)
+            upoints[t] = (u[order], qw[order])
+
+        def _wquantile(u: np.ndarray, w: np.ndarray, q: float) -> float:
+            cw = np.cumsum(w)
+            if cw[-1] <= 0:
+                return float(u[-1]) if len(u) else 0.0
+            return float(u[np.searchsorted(cw, q * cw[-1], side="left")])
+
+        # theta estimate: top-segment order statistic of the strongest
+        # term's UB distribution (see PLAN_THETA_QUANTILE). The k-th
+        # best doc score can't be below the k-th best block UB (each
+        # block bound is realized), and k << blocks places it in the
+        # top sketch segment.
+        theta = max(_wquantile(u, w, self.PLAN_THETA_QUANTILE)
+                    for u, w in upoints.values())
+        ctot = sum(gmax[t] for t in common)
+        decoded = float(sum(df_of[t] for t in rare))
+        frac_by_term = {}
+        for t in common:
+            slack_t = ctot - gmax[t]
+            u, qw = upoints[t]
+            wsum = qw.sum()
+            frac = float(qw[u >= theta - slack_t].sum() / wsum) if wsum else 1.0
+            frac_by_term[t] = frac
+            decoded += df_of[t] * frac
+        decoded += self.PLAN_OVERHEAD_BLOCKS * 128.0
+        decoded = min(decoded, total_post)
+        waves = (1 if prefetch else 0) + (1 if aligned else 0)
+        cost_wand = decoded / self.PLAN_LOOP_RATE + waves * self.PLAN_WAVE_S
+        cost_exh = total_post / self.PLAN_VEC_RATE
+        return {
+            "use_wand": bool(cost_wand < cost_exh),
+            "reason": "cost-model",
+            "est_decoded_postings": int(decoded),
+            "total_postings": int(total_post),
+            "est_decode_fraction": round(decoded / total_post, 4),
+            "frac_by_term": {t: round(f, 4) for t, f in frac_by_term.items()},
+            "prefetch": prefetch, "aligned": aligned,
+            "cost_wand_s": round(cost_wand, 4),
+            "cost_exhaustive_s": round(cost_exh, 4),
+        }
+
     def _as_or_terms(self, q: Query) -> Optional[List[Tuple[str, float]]]:
         """Terms of a pure term/OR-of-terms scoring query, else None."""
         q = rewrite(q, None)
@@ -2369,19 +2541,34 @@ class Searcher:
     # -- public API -----------------------------------------------------------
 
     def search(self, q: Query, k: int = 10, after: Optional[Tuple[float, int]] = None,
-               prune: bool = False) -> pd.DataFrame:
+               prune=False) -> pd.DataFrame:
         """Top-k: score desc, docID asc (HitQueue.java:76-81). `after`:
         (score, doc_id) cursor for searchAfter paging
         (IndexSearcher.java:419). `prune=True`: block-max WAND pruning
         for term / OR-of-terms queries (rank-identical; falls back to
-        exhaustive for other shapes or when paging)."""
+        exhaustive for other shapes or when paging). `prune="auto"`:
+        cost-based access-path choice — the planner estimates the
+        pruned plan's decode fraction from persisted per-term block-UB
+        quantile sketches and runs WAND only when the model says
+        pruning pays (Lucene's BooleanWeight.java:317 scorer-vs-
+        BulkScorer and IndexOrDocValuesQuery.java:52 access-path
+        choice); either choice returns the identical rank-safe top-k.
+        The decision and its estimates land on self.last_plan."""
         from pyspark.sql import functions as F
 
+        self.last_plan = None
         q = self._with_default_field(q)
         if prune and after is None:
             terms = self._as_or_terms(q)
             if terms is not None:
-                return self._search_pruned_or(terms, k)
+                if prune == "auto":
+                    plan = self.plan_pruned_or(terms, k)
+                    self.last_plan = plan
+                    if plan["use_wand"]:
+                        return self._search_pruned_or(terms, k)
+                    # fall through: exhaustive plan chosen by cost
+                else:
+                    return self._search_pruned_or(terms, k)
 
         q = rewrite(q, dictionary_terms=None)
         q = self._expand_multiterm(q)

@@ -160,11 +160,19 @@ def main() -> None:
         timings[name] = round(median3(lambda: searcher.search(q, k=10)), 3)
     for name, q in (("bm25_term_wand", queries["bm25_term"]),
                     ("bm25_or_wand", queries["bm25_or"])):
+        # prune="auto": cost-gated plan choice (rank-identical either
+        # way). Times the CHOSEN plan; the decision + its estimates
+        # are recorded beside the decode fraction. A forced-WAND rep
+        # is run once, untimed, to log the decode fraction even when
+        # the gate (correctly) picks exhaustive.
         timings[name] = round(
-            median3(lambda: searcher.search(q, k=10, prune=True)), 3)
+            median3(lambda: searcher.search(q, k=10, prune="auto")), 3)
+        plan = searcher.last_plan
+        searcher.search(q, k=10, prune=True)
         st = dict(searcher.last_wand_stats)
         st["decode_fraction"] = round(
             st["blocks_decoded"] / max(1, st["blocks_total"]), 4)
+        st["plan"] = plan
         wand_frac[name] = st
 
     # span: 3-term ordered near over common corpus tokens

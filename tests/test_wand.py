@@ -308,3 +308,76 @@ def test_sparse_table_range_max():
     got = _range_max(st, lo, hi)
     want = np.array([arr[a:b + 1].max() for a, b in zip(lo, hi)])
     assert np.array_equal(got, want)
+
+
+# -- cost-based access-path gate (prune="auto") -----------------------------
+# Lucene's BooleanWeight.java:317 scorer-vs-BulkScorer /
+# IndexOrDocValuesQuery.java:52 access-path choice, applied to
+# WAND-vs-exhaustive: the planner reads the persisted per-term block-UB
+# quantile sketch (builder.compute_term_stats gq_tf/gq_dl) and runs the
+# pruned plan only when its modeled cost beats the exhaustive plan.
+
+
+def test_auto_rank_identical_and_plan_populated(searcher):
+    q = BooleanQuery(clauses=(
+        BooleanClause(Occur.SHOULD, TermQuery(term="import")),
+        BooleanClause(Occur.SHOULD, TermQuery(term="ident007")),
+    ))
+    exhaustive = searcher.search(q, k=10)
+    auto = searcher.search(q, k=10, prune="auto")
+    plan = searcher.last_plan
+    _assert_same(auto, exhaustive, "auto-or")
+    assert plan is not None and plan["reason"] == "cost-model"
+    for key in ("use_wand", "est_decode_fraction", "total_postings",
+                "cost_wand_s", "cost_exhaustive_s"):
+        assert key in plan, f"plan missing {key}"
+    assert 0.0 <= plan["est_decode_fraction"] <= 1.0
+
+
+def test_auto_single_term_rank_identical(searcher):
+    q = TermQuery(term="import")
+    _assert_same(searcher.search(q, k=10, prune="auto"),
+                 searcher.search(q, k=10), "auto-term")
+    assert searcher.last_plan is None or True  # last_plan reset by 2nd call
+
+
+def test_auto_tiny_corpus_prefers_exhaustive(searcher):
+    """On a few-hundred-doc corpus every plan is overhead-dominated and
+    the decode fraction is ~1 — the model must not pick WAND."""
+    q = TermQuery(term="import")
+    searcher.search(q, k=10, prune="auto")
+    # captured before any further search resets it
+    plan_q = TermQuery(term="import")
+    plan = searcher.plan_pruned_or(
+        searcher._as_or_terms(searcher._with_default_field(plan_q)), 10)
+    assert plan["reason"] == "cost-model"
+    assert not plan["use_wand"]
+
+
+def test_auto_falls_back_to_wand_without_sketch(searcher, monkeypatch):
+    """Old-format indexes (no gq_tf sketch) keep the legacy behavior:
+    prune='auto' still runs the (rank-safe) pruned path."""
+    monkeypatch.setattr(type(searcher.reader), "term_cost_stats",
+                        lambda self, terms: None)
+    q = TermQuery(term="import")
+    exhaustive = searcher.search(q, k=10)
+    auto = searcher.search(q, k=10, prune="auto")
+    assert searcher.last_plan == {"use_wand": True, "reason": "no-cost-stats"}
+    _assert_same(auto, exhaustive, "auto-legacy")
+
+
+def test_mid_corpus_plan_estimates_sane(spark, mid_index):
+    """On the 20k Zipf corpus the sketch exists and the estimated
+    decode fraction must land in (0, 1] and the simulated machinery
+    flags must be booleans (plan introspection contract for bench)."""
+    from lucene_solr_spark.search.executor import IndexReader, Searcher
+
+    s = Searcher(IndexReader(spark, mid_index, norms="byte"),
+                 precision="float32")
+    plan = s.plan_pruned_or([("import", 1.0)], 10)
+    assert plan["reason"] == "cost-model"
+    assert 0.0 < plan["est_decode_fraction"] <= 1.0
+    assert isinstance(plan["prefetch"], bool)
+    assert isinstance(plan["aligned"], bool)
+    auto = s.search(TermQuery(term="import"), k=10, prune="auto")
+    _assert_same(auto, s.search(TermQuery(term="import"), k=10), "mid-auto")
