@@ -638,38 +638,54 @@ class Searcher:
              "idf64": idf_sum64, "avgdl64": avgdl64, "boost": boost}
         )
 
+        nslots = len(terms)
+
         def decode_pos(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            # ONE ROW PER POSTING ENTRY, positions packed as an array:
-            # a doc's positions for a term live in exactly one block
-            # entry, so the per-(doc, slot) position list is complete at
-            # decode time. Shipping arrays instead of exploded
-            # occurrence rows cuts the shuffle row count from ttf
-            # (total positions) to df (matching docs) per slot — ~20x on
-            # common terms — and the downstream gather becomes
-            # first(ignorenulls) instead of ttf singleton collect_list
-            # appends (profiled 8.6M -> 0.4M shuffled rows on the
-            # 200k-doc bench phrase "def class").
+            # ONE ROW PER (BLOCK x CHUNK-PIECE x SLOT), all columns
+            # packed arrays: blocks are split at 8192-doc chunk
+            # boundaries (most have one piece) so the downstream
+            # phrase match can co-locate every term's postings for a
+            # doc range under ONE shuffle key. Shipping block-sized
+            # array rows instead of per-doc rows cuts the shuffled ROW
+            # count by ~128x (same bytes) and — measured at 2M docs —
+            # removes the 3M-small-python-object Arrow serialization
+            # that dominated the former per-doc-array stage (+1.2s of
+            # a 4.9s wall).
             for pdf in batches:
-                cols_doc, cols_ti, cols_nb, cols_parr = [], [], [], []
+                rows_ch, rows_ti, rows_d, rows_tf, rows_nb, rows_p = (
+                    [], [], [], [], [], [])
                 for term, blob, pb in _zip_blocks_pos(pdf):
                     doc_ids, tfs, norms, pos = decode_block_positions(
                         bytes(blob), pb)
                     if len(doc_ids) == 0:
                         continue
-                    split = np.split(pos.astype(np.int32, copy=False),
-                                     np.cumsum(tfs)[:-1])
-                    for ti in slots_by_term[term]:
-                        cols_doc.append(doc_ids)
-                        cols_nb.append(norms)
-                        cols_ti.append(np.full(len(doc_ids), ti, dtype=np.int32))
-                        cols_parr.extend(split)
-                if cols_doc:
+                    tfs = tfs.astype(np.int32, copy=False)
+                    chunks = doc_ids >> CHUNK_BITS
+                    cut = np.flatnonzero(np.diff(chunks)) + 1
+                    bounds = np.concatenate(([0], cut, [len(doc_ids)]))
+                    poff = np.concatenate(([0], np.cumsum(tfs)))
+                    for a, b in zip(bounds[:-1], bounds[1:]):
+                        d_piece = doc_ids[a:b]
+                        tf_piece = tfs[a:b]
+                        nb_piece = norms[a:b]
+                        p_piece = pos[poff[a]:poff[b]].astype(
+                            np.int32, copy=False)
+                        for ti in slots_by_term[term]:
+                            rows_ch.append(int(chunks[a]))
+                            rows_ti.append(ti)
+                            rows_d.append(d_piece)
+                            rows_tf.append(tf_piece)
+                            rows_nb.append(nb_piece)
+                            rows_p.append(p_piece)
+                if rows_ch:
                     yield pd.DataFrame(
                         {
-                            "doc_id": np.concatenate(cols_doc),
-                            "tidx": np.concatenate(cols_ti),
-                            "norm": np.concatenate(cols_nb),
-                            "parr": pd.Series(cols_parr, dtype=object),
+                            "chunk": np.asarray(rows_ch, dtype=np.int64),
+                            "tidx": np.asarray(rows_ti, dtype=np.int32),
+                            "docs": pd.Series(rows_d, dtype=object),
+                            "tfs": pd.Series(rows_tf, dtype=object),
+                            "norms": pd.Series(rows_nb, dtype=object),
+                            "pos": pd.Series(rows_p, dtype=object),
                         }
                     )
 
@@ -690,49 +706,85 @@ class Searcher:
         occ = (
             blocks_src
             .select(*_pos_cols(blocks_src))
-            .mapInPandas(decode_pos, "doc_id long, tidx int, norm int, parr array<int>")
+            .mapInPandas(
+                decode_pos,
+                "chunk long, tidx int, docs array<long>, tfs array<int>, "
+                "norms array<int>, pos array<int>")
         )
-        # ONE shuffle: gather each doc's pre-built per-slot position
-        # arrays side by side, then count matches with a codegen'd
-        # array expression tf = |{p in p0 : p+i in p_i for all i}|.
-        # The former plan (n-1 position self-joins) shuffled the
-        # occurrence relation once per slot AND re-ran the decode stage
-        # per branch; this decodes once and shuffles once (array rows),
-        # with the intersection inside WholeStageCodegen. A doc missing
-        # any slot aggregates a null array — filtered before the match,
-        # so the O(tf0 * n) probe runs only on conjunction survivors.
-        # Per-doc position lists are tf-sized (bounded by
-        # maxTokenLength'd docs), so array_contains probes stay
-        # O(tf_i) — the same work ExactPhraseMatcher does per doc.
-        aggs = [F.first("norm").alias("norm")]
-        for i in range(len(terms)):
-            aggs.append(
-                F.first(
-                    F.when(F.col("tidx") == i, F.col("parr")),
-                    ignorenulls=True,
-                ).alias(f"p{i}")
-            )
-        gathered = occ.groupBy("doc_id").agg(*aggs)
-        present = None
-        for i in range(len(terms)):
-            c = F.col(f"p{i}").isNotNull()
-            present = c if present is None else (present & c)
-        gathered = gathered.where(present)
 
-        def match_pred(x):
-            pred = None
-            for i in range(1, len(terms)):
-                c = F.array_contains(F.col(f"p{i}"), x + i)
-                pred = c if pred is None else (pred & c)
-            return pred if pred is not None else F.lit(True)
+        # ONE shuffle (the chunk-piece rows), then the whole phrase
+        # match runs vectorized numpy per 8192-doc chunk group
+        # (ExactPhraseMatcher's advance loop, batched): conjunction by
+        # sorted-array intersection of each slot's doc lists, then
+        # occurrence counting by intersecting composite int64 keys
+        # (local_doc << 50 | shifted position) — term i matches at
+        # p0 + i, so slot i's keys use pos - i and an occurrence
+        # survives every slot's key set. All O(postings log) sorted
+        # operations; no per-doc python, no per-position Catalyst work.
+        def _isin_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+            # membership of sorted-unique a in sorted-unique b
+            if len(b) == 0 or len(a) == 0:
+                return np.zeros(len(a), dtype=bool)
+            j = np.searchsorted(b, a).clip(0, len(b) - 1)
+            return b[j] == a
 
-        tf_col = F.size(F.filter(F.col("p0"), match_pred))
-        freq = (
-            gathered.select(
-                "doc_id", tf_col.alias("tf"), F.col("norm")
-            )
-            .where(F.col("tf") > 0)
-        )
+        def match_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {"doc_id": np.empty(0, np.int64), "tf": np.empty(0, np.int64),
+                 "norm": np.empty(0, np.int32)})
+            chunk = int(pdf["chunk"].iloc[0])
+            base = np.int64(chunk) << CHUNK_BITS
+            slot_docs, slot_tfs, slot_nbs, slot_pos = [], [], [], []
+            for i in range(nslots):
+                g = pdf[pdf["tidx"] == i]
+                if not len(g):
+                    return empty
+                # pieces of one term within a chunk own disjoint doc
+                # ranges (a posting list is sorted and blocks partition
+                # it): ordering pieces by first doc yields globally
+                # sorted docs and keeps positions aligned — no big sort
+                order = sorted(range(len(g)),
+                               key=lambda j: g["docs"].iloc[j][0])
+                slot_docs.append(np.concatenate(
+                    [np.asarray(g["docs"].iloc[j], np.int64) for j in order]))
+                slot_tfs.append(np.concatenate(
+                    [np.asarray(g["tfs"].iloc[j], np.int64) for j in order]))
+                slot_nbs.append(np.concatenate(
+                    [np.asarray(g["norms"].iloc[j], np.int64) for j in order]))
+                slot_pos.append(np.concatenate(
+                    [np.asarray(g["pos"].iloc[j], np.int64) for j in order]))
+            common = slot_docs[0]
+            for i in range(1, nslots):
+                common = common[_isin_sorted(common, slot_docs[i])]
+                if not len(common):
+                    return empty
+            keys = None
+            norm0 = None
+            for i in range(nslots):
+                mask = _isin_sorted(slot_docs[i], common)
+                ld = (slot_docs[i][mask] - base)
+                tf_r = slot_tfs[i][mask]
+                pos_r = slot_pos[i][np.repeat(mask, slot_tfs[i])]
+                # local doc (13 bits) << 50 leaves 50 bits for the
+                # shifted position — doc ids stay exact at any corpus
+                # size because only the in-chunk offset is encoded
+                k = (np.repeat(ld, tf_r) << 50) | (pos_r - i + nslots)
+                if i == 0:
+                    keys = k
+                    norm0 = (ld, slot_nbs[i][mask])
+                else:
+                    keys = keys[_isin_sorted(keys, k)]
+                if not len(keys):
+                    return empty
+            ld_match = keys >> 50
+            uld, tf = np.unique(ld_match, return_counts=True)
+            nb = norm0[1][np.searchsorted(norm0[0], uld)]
+            return pd.DataFrame({"doc_id": base + uld,
+                                 "tf": tf.astype(np.int64),
+                                 "norm": nb.astype(np.int32)})
+
+        freq = occ.groupBy("chunk").applyInPandas(
+            match_chunk, "doc_id long, tf long, norm int")
 
         def score_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             info = bc.value
