@@ -1783,16 +1783,27 @@ WITH pos AS (
 hist AS (
   SELECT doc_id, n, byte, count(*) AS c
   FROM pos GROUP BY doc_id, n, byte
+),
+agg AS (
+  SELECT doc_id,
+         CAST(n AS BIGINT) AS n_bytes,
+         round(sum(byte * c) * 1.0 / n, 6) AS mean_byte,
+         round(sqrt(sum(byte * byte * c) * 1.0 / n
+                    - (sum(byte * c) * 1.0 / n) * (sum(byte * c) * 1.0 / n)), 6)
+           AS std_byte,
+         round(-sum((c * 1.0 / n) * ln(c * 1.0 / n)), 6) AS byte_entropy,
+         CAST(count(*) AS BIGINT) AS n_distinct_bytes
+  FROM hist GROUP BY doc_id, n
 )
-SELECT doc_id,
-       CAST(n AS BIGINT) AS n_bytes,
-       round(sum(byte * c) * 1.0 / n, 6) AS mean_byte,
-       round(sqrt(sum(byte * byte * c) * 1.0 / n
-                  - (sum(byte * c) * 1.0 / n) * (sum(byte * c) * 1.0 / n)), 6)
-         AS std_byte,
-       round(-sum((c * 1.0 / n) * ln(c * 1.0 / n)), 6) AS byte_entropy,
-       CAST(count(*) AS BIGINT) AS n_distinct_bytes
-FROM hist GROUP BY doc_id, n
+-- left-join back so zero-length documents keep their n_bytes=0 row
+-- (LATERAL generate_series(1,0) yields no rows), matching the engine
+SELECT d.doc_id,
+       COALESCE(a.n_bytes, 0) AS n_bytes,
+       COALESCE(a.mean_byte, 0.0) AS mean_byte,
+       COALESCE(a.std_byte, 0.0) AS std_byte,
+       COALESCE(a.byte_entropy, 0.0) AS byte_entropy,
+       COALESCE(a.n_distinct_bytes, 0) AS n_distinct_bytes
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """)
 def mm_byte_features(spark, sf_dir):
     """Codec-free multimodal feature extraction: byte-level statistics
@@ -1817,27 +1828,234 @@ def mm_binary_meta(spark, sf_dir):
     return out.select("doc_id", F.col("n_bytes").cast("long").alias("n_bytes"), "sha256")
 
 
+# -- real multimodal decode (pure-numpy codecs, no codec libs) -------------
+# The image/audio/video payloads are SYNTHESIZED deterministically from
+# doc_id by integer formulas (both engines replay them), then encoded to
+# REAL container bytes (PPM P6 / FRAMES / RIFF-WAVE PCM16) and pushed
+# through the REAL decoders in datapipe/multimodal.py — so the oracle
+# checks the whole decode -> transform -> statistics pipeline end to
+# end: a mis-parsed header or a wrong resize kernel breaks the hash.
+
+def _mm_synth_ppm(spark, sf_dir):
+    """(doc_id, blob): PPM P6 images, w=16*(1+id%3), h=8*(1+id%2),
+    pixel(y,x,c) = (id*31 + y*7 + x*3 + c*11) % 256."""
+    import numpy as _np
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 16 * (1 + did % 3)
+                h = 8 * (1 + did % 2)
+                yy = _np.arange(h)[:, None, None] * 7
+                xx = _np.arange(w)[None, :, None] * 3
+                cc = _np.arange(3)[None, None, :] * 11
+                px = ((did * 31 + yy + xx + cc) % 256).astype(_np.uint8)
+                ids.append(did)
+                blobs.append(_mm.encode_ppm(px))
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    return d.mapInPandas(synth, "doc_id long, blob binary")
+
+
+def _mm_synth_frames(spark, sf_dir):
+    """(doc_id, blob): FRAMES containers, nf=3+id%4 grayscale 6x8
+    frames, pixel(f,y,x) = (id*17 + f*29 + y*5 + x*3) % 256."""
+    import numpy as _np
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nf = 3 + did % 4
+                ff = _np.arange(nf)[:, None, None] * 29
+                yy = _np.arange(6)[None, :, None] * 5
+                xx = _np.arange(8)[None, None, :] * 3
+                fr = ((did * 17 + ff + yy + xx) % 256).astype(_np.uint8)
+                ids.append(did)
+                blobs.append(_mm.encode_frames(fr))
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    return d.mapInPandas(synth, "doc_id long, blob binary")
+
+
+def _mm_synth_wav(spark, sf_dir):
+    """(doc_id, blob): PCM16 mono 16 kHz WAVs, n=256+(id%5)*64 samples,
+    sample(i) = ((id*7 + i*13) % 4097) - 2048."""
+    import numpy as _np
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 256 + (did % 5) * 64
+                s = (((did * 7 + _np.arange(n) * 13) % 4097) - 2048).astype(
+                    _np.int16)
+                ids.append(did)
+                blobs.append(_mm.encode_wav(s, 16000))
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    return d.mapInPandas(synth, "doc_id long, blob binary")
+
+
 @register("mm_features", None)
 def mm_features(spark, sf_dir):
-    """Arrow-batched decode + feature extraction through mapInPandas
-    with a deterministic stub decoder (datapipe/multimodal.py;
-    rows-only — determinism asserted in tests/test_datapipe.py)."""
-    return _mm.extract_features(load(spark, sf_dir, "documents"))
+    """Arrow-batched REAL image decode (PPM P6, decode_ppm) + float32
+    screening-embedding extraction through mapInPandas
+    (datapipe/multimodal.py). Rows-only: the float32 feature array is
+    not SQL-hashable; the integer-exact face of the same pipeline is
+    fully oracle-checked in mm_image_stats."""
+    return _mm.extract_features(
+        _mm_synth_ppm(spark, sf_dir), fake_decode=False, binary_col="blob")
 
 
-@register("mm_resize", None)
+@register("mm_image_stats", """
+WITH docs AS (
+  SELECT doc_id, 16 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h
+  FROM documents
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h, y.y, x.x,
+         ((d.doc_id * 31 + y.y * 7 + x.x * 3 + 0 * 11) % 256
+          + (d.doc_id * 31 + y.y * 7 + x.x * 3 + 1 * 11) % 256
+          + (d.doc_id * 31 + y.y * 7 + x.x * 3 + 2 * 11) % 256) AS graysum
+  FROM docs d,
+       LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) y,
+       LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) x
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       3 AS channels,
+       CAST(h * w AS BIGINT) AS n_pixels,
+       CAST(sum(graysum) AS BIGINT) AS pixel_sum,
+       CAST(count(*) FILTER (graysum * 8 // 768 = 0) AS BIGINT) AS h0,
+       CAST(count(*) FILTER (graysum * 8 // 768 = 1) AS BIGINT) AS h1,
+       CAST(count(*) FILTER (graysum * 8 // 768 = 2) AS BIGINT) AS h2,
+       CAST(count(*) FILTER (graysum * 8 // 768 = 3) AS BIGINT) AS h3,
+       CAST(count(*) FILTER (graysum * 8 // 768 = 4) AS BIGINT) AS h4,
+       CAST(count(*) FILTER (graysum * 8 // 768 = 5) AS BIGINT) AS h5,
+       CAST(count(*) FILTER (graysum * 8 // 768 = 6) AS BIGINT) AS h6,
+       CAST(count(*) FILTER (graysum * 8 // 768 = 7) AS BIGINT) AS h7
+FROM px GROUP BY doc_id, w, h
+""")
+def mm_image_stats(spark, sf_dir):
+    """REAL image decode feature extraction, fully oracle-checked:
+    deterministic PPM bytes -> decode_ppm (header parse + frombuffer)
+    -> exact integer pixel statistics + 8-bin channel-sum histogram
+    (datapipe/multimodal.py image_stats). The DuckDB oracle recomputes
+    every value from the synthesis formula — a decoder bug (wrong
+    offset, wrong dims, wrong channel order) breaks the hash."""
+    out = _mm.image_stats(_mm_synth_ppm(spark, sf_dir), binary_col="blob")
+    cols = [F.col("doc_id"), F.col("width"), F.col("height"),
+            F.col("channels"), F.col("n_pixels"), F.col("pixel_sum")]
+    for i in range(8):
+        cols.append(F.element_at(F.col("hist"), i + 1).alias(f"h{i}"))
+    return out.select(*cols)
+
+
+@register("mm_resize", """
+WITH docs AS (
+  SELECT doc_id, 16 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h
+  FROM documents
+),
+cell AS (
+  SELECT t.doc_id, t.w, t.h,
+         CAST(floor(avg((t.doc_id * 31 + y.y * 7 + x.x * 3 + t.c * 11) % 256))
+              AS BIGINT) AS pv
+  FROM (SELECT d.*, ty.ty, tx.tx, c.c FROM docs d,
+          LATERAL (SELECT unnest(generate_series(0, 7)) AS ty) ty,
+          LATERAL (SELECT unnest(generate_series(0, 7)) AS tx) tx,
+          LATERAL (SELECT unnest(generate_series(0, 2)) AS c) c) t,
+       LATERAL (SELECT unnest(generate_series(t.ty * (t.h // 8),
+                              (t.ty + 1) * (t.h // 8) - 1)) AS y) y,
+       LATERAL (SELECT unnest(generate_series(t.tx * (t.w // 8),
+                              (t.tx + 1) * (t.w // 8) - 1)) AS x) x
+  GROUP BY t.doc_id, t.w, t.h, t.ty, t.tx, t.c
+)
+SELECT doc_id, CAST(w AS INT) AS src_w, CAST(h AS INT) AS src_h,
+       CAST(sum(pv) AS BIGINT) AS resized_sum,
+       round(sum(pv) / 192.0, 6) AS resized_mean
+FROM cell GROUP BY doc_id, w, h
+""")
 def mm_resize(spark, sf_dir):
-    """Image-resize plumbing: fake decode -> numpy area downsample ->
-    binary out via mapInPandas (rows-only; determinism asserted in
-    tests/test_datapipe.py). drop the blob for the gate row count."""
-    return _mm.resize_images(load(spark, sf_dir, "documents")).drop("resized")
+    """REAL image resize, fully oracle-checked: deterministic PPM
+    bytes -> decode_ppm -> area_resize (block-mean with floor
+    semantics, 8x8x3 out) -> plane statistics. The oracle recomputes
+    each target cell's floor(avg(block)) from the pixel formula, so
+    decode AND the resize kernel are both under the hash. The resized
+    bytes themselves are a valid PPM (re-encoded); the gate row keeps
+    the SQL-expressible stats."""
+    out = _mm.resize_images(_mm_synth_ppm(spark, sf_dir),
+                            fake_decode=False, binary_col="blob")
+    return out.select("doc_id", "src_w", "src_h", "resized_sum",
+                      "resized_mean")
 
 
-@register("mm_frame_sample", None)
+@register("mm_frame_sample", """
+WITH docs AS (
+  SELECT doc_id, 3 + doc_id % 4 AS nf FROM documents
+),
+fr AS (
+  SELECT d.doc_id, i.i AS frame_idx, (i.i * d.nf) // 4 AS src_frame
+  FROM docs d, LATERAL (SELECT unnest(generate_series(0, 3)) AS i) i
+),
+px AS (
+  SELECT f.doc_id, f.frame_idx, f.src_frame,
+         (f.doc_id * 17 + f.src_frame * 29 + y.y * 5 + x.x * 3) % 256 AS v
+  FROM fr f,
+       LATERAL (SELECT unnest(generate_series(0, 5)) AS y) y,
+       LATERAL (SELECT unnest(generate_series(0, 7)) AS x) x
+)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(src_frame AS INT) AS src_frame,
+       round(sum(v) / 48.0, 6) AS frame_mean
+FROM px GROUP BY doc_id, frame_idx, src_frame
+""")
 def mm_frame_sample(spark, sf_dir):
-    """Frame-sampling plumbing: 1 row -> n_frames rows via mapInPandas
-    (rows-only; datapipe/multimodal.py)."""
-    return _mm.frame_sample(load(spark, sf_dir, "documents"))
+    """REAL video-frame sampling, fully oracle-checked: deterministic
+    FRAMES container bytes -> decode_frames -> even temporal sampling
+    (frame i -> source frame floor(i*nf/4)) -> per-frame means. 1 row
+    -> 4 rows through the explode-shaped mapInPandas; the oracle
+    replays the container layout arithmetic (datapipe/multimodal.py)."""
+    out = _mm.frame_sample(_mm_synth_frames(spark, sf_dir), n_frames=4,
+                           binary_col="blob")
+    return out.select("doc_id", "frame_idx", "src_frame", "frame_mean")
+
+
+@register("mm_wav_stats", """
+WITH docs AS (
+  SELECT doc_id, 256 + (doc_id % 5) * 64 AS n FROM documents
+),
+s AS (
+  SELECT d.doc_id, d.n,
+         ((d.doc_id * 7 + i.i * 13) % 4097) - 2048 AS amp
+  FROM docs d, LATERAL (SELECT unnest(generate_series(0, d.n - 1)) AS i) i
+)
+SELECT doc_id, 16000 AS sample_rate, CAST(n AS BIGINT) AS n_samples,
+       1 AS n_channels,
+       CAST(sum(amp) AS BIGINT) AS sum_amp,
+       round(sqrt(sum(CAST(amp AS DOUBLE) * amp) / n), 6) AS rms,
+       CAST(max(abs(amp)) AS BIGINT) AS peak
+FROM s GROUP BY doc_id, n
+""")
+def mm_wav_stats(spark, sf_dir):
+    """REAL audio decode, fully oracle-checked: deterministic PCM16
+    RIFF/WAVE bytes -> decode_wav (RIFF chunk walk + frombuffer) ->
+    amplitude statistics (datapipe/multimodal.py wav_stats). The
+    oracle replays the sample formula; a header mis-parse (wrong data
+    offset, wrong sample width) breaks every value."""
+    out = _mm.wav_stats(_mm_synth_wav(spark, sf_dir), binary_col="blob")
+    return out.select("doc_id", "sample_rate", "n_samples", "n_channels",
+                      "sum_amp", "rms", "peak")
 
 
 # ---------------------------------------------------------------------------

@@ -83,11 +83,85 @@ def test_mm_features_deterministic_and_shaped(spark, docs):
     assert [r["features"] for r in a] == [r["features"] for r in b]
 
 
-def test_mm_real_decode_is_stubbed(spark, docs):
+def test_mm_real_decode_rejects_non_image(spark, docs):
+    """fake_decode=False now runs the REAL pure-numpy PPM decoder —
+    non-image payloads (raw text bytes) must fail loudly, not decode
+    garbage."""
+    from py4j.protocol import Py4JJavaError
+
     from lucene_solr_spark.datapipe import multimodal
 
-    with pytest.raises(NotImplementedError):
-        multimodal.extract_features(docs, fake_decode=False)
+    with pytest.raises((Py4JJavaError, Exception)):
+        multimodal.extract_features(docs, fake_decode=False).collect()
+
+
+def test_mm_real_ppm_pipeline(spark, docs):
+    """Real decode end-to-end: synthesize valid PPM bytes, decode with
+    decode_ppm through extract_features/resize_images/image_stats, and
+    check pixel-exact results against numpy ground truth."""
+    import numpy as np
+    import pandas as pd
+
+    from lucene_solr_spark.datapipe import multimodal
+
+    def px_of(did: int) -> np.ndarray:
+        w, h = 16 * (1 + did % 3), 8 * (1 + did % 2)
+        yy = np.arange(h)[:, None, None] * 7
+        xx = np.arange(w)[None, :, None] * 3
+        cc = np.arange(3)[None, None, :] * 11
+        return ((did * 31 + yy + xx + cc) % 256).astype(np.uint8)
+
+    src = spark.createDataFrame(pd.DataFrame({
+        "doc_id": list(range(6)),
+        "blob": [multimodal.encode_ppm(px_of(i)) for i in range(6)],
+    }))
+    stats = {r["doc_id"]: r for r in
+             multimodal.image_stats(src).collect()}
+    resized = {r["doc_id"]: r for r in
+               multimodal.resize_images(src, fake_decode=False,
+                                        binary_col="blob").collect()}
+    feats = {r["doc_id"]: r for r in
+             multimodal.extract_features(src, fake_decode=False,
+                                         binary_col="blob").collect()}
+    for did in range(6):
+        px = px_of(did)
+        assert stats[did]["width"] == px.shape[1]
+        assert stats[did]["height"] == px.shape[0]
+        assert stats[did]["pixel_sum"] == int(px.astype(np.int64).sum())
+        small = multimodal.area_resize(px, 8, 8)
+        assert resized[did]["resized_sum"] == int(small.astype(np.int64).sum())
+        # the resized payload is itself a decodable PPM
+        rt = multimodal.decode_ppm(bytes(resized[did]["resized"]))
+        assert np.array_equal(rt, small)
+        f = feats[did]["features"]
+        assert len(f) == multimodal.FEATURE_DIM
+        assert abs(f[0] - px[..., 0].mean() / 255.0) < 1e-5
+
+
+def test_mm_wav_and_frames_real_decode(spark):
+    """Real WAV and FRAMES decode through the Arrow stages: amplitude
+    stats and frame sampling match numpy ground truth."""
+    import numpy as np
+    import pandas as pd
+
+    from lucene_solr_spark.datapipe import multimodal
+
+    s0 = (((np.arange(300) * 13) % 4097) - 2048).astype(np.int16)
+    fr0 = ((np.arange(5 * 6 * 8) * 7) % 256).astype(np.uint8).reshape(5, 6, 8)
+    src = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0], "blob": [multimodal.encode_wav(s0, 8000)]}))
+    r = multimodal.wav_stats(src).collect()[0]
+    assert r["sample_rate"] == 8000 and r["n_samples"] == 300
+    assert r["sum_amp"] == int(s0.astype(np.int64).sum())
+    assert r["peak"] == int(np.abs(s0.astype(np.int64)).max())
+    fsrc = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0], "blob": [multimodal.encode_frames(fr0)]}))
+    rows = (multimodal.frame_sample(fsrc, n_frames=4, binary_col="blob")
+            .orderBy("frame_idx").collect())
+    assert [r["src_frame"] for r in rows] == [(i * 5) // 4 for i in range(4)]
+    for r in rows:
+        plane = fr0[r["src_frame"]]
+        assert abs(r["frame_mean"] - plane.astype(np.float64).mean()) < 1e-6
 
 
 def test_frame_sample_fanout(spark, docs):
@@ -108,12 +182,13 @@ def test_mm_resize_deterministic_and_shaped(spark, docs):
     assert [(r["doc_id"], r["resized_sha"]) for r in a] == [
         (r["doc_id"], r["resized_sha"]) for r in b]
     r0 = a[0]
-    assert len(bytes(r0["resized"])) == 8 * 8
-    assert r0["src_w"] % 8 == 0 and r0["src_h"] % 8 == 0
-    import pytest as _pt
+    # resized payload is a re-encoded PGM (header + 8x8 raster)
+    import numpy as np
 
-    with _pt.raises(NotImplementedError):
-        multimodal.resize_images(docs, fake_decode=False)
+    rt = multimodal.decode_ppm(bytes(r0["resized"]))
+    assert rt.shape == (8, 8)
+    assert r0["src_w"] % 8 == 0 and r0["src_h"] % 8 == 0
+    assert r0["resized_sum"] == int(rt.astype(np.int64).sum())
 
 
 def test_lsh_near_pairs_recall_vs_exact(spark, embeddings):
