@@ -234,15 +234,24 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
     scale). Redaction order is fixed (emails, then IPs, then phones)
     so the count/replace passes are deterministic; redacted_fp is the
     md5 of the scrubbed text (the scrubbed corpus itself would be the
-    sink column in production)."""
+    sink column in production).
+
+    Each class is counted on the PROGRESSIVELY redacted text (emails
+    on raw, IPs on email-redacted, phones on email+IP-redacted),
+    mirroring the replace chain exactly — so the counts always equal
+    the number of replacements the redaction performed, even when
+    patterns overlap (an IP-shaped substring inside an email domain is
+    consumed by the email pass and correctly not counted as an IP)."""
     t = F.col(text_col)
-    red = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
-    red = F.regexp_replace(red, PII_IP_RE, "<IP>")
-    red = F.regexp_replace(red, PII_PHONE_RE, "<PHONE>")
+    red_e = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    red_ei = F.regexp_replace(red_e, PII_IP_RE, "<IP>")
+    red = F.regexp_replace(red_ei, PII_PHONE_RE, "<PHONE>")
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
-        F.regexp_count(t, F.lit(PII_IP_RE)).cast("long").alias("n_ips"),
+        F.regexp_count(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+            F.lit(PII_IP_RE)).cast("long").alias("n_ips"),
         F.regexp_count(
             F.regexp_replace(F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
                              PII_IP_RE, "<IP>"),

@@ -214,9 +214,13 @@ def test_sessionize_streaming_matches_batch(spark, tmp_path_factory):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not finish within 300s"
     got = (spark.table("sessions_stream")
            .orderBy("user_id", "session_start_s").collect())
-    want = sessions(events).orderBy("user_id", "session_start_s").collect()
+    # batch leg sessionizes the IDENTICAL type as the stream leg
+    # (TIMESTAMP, not the parquet TIMESTAMP_NTZ) so the comparison
+    # holds under any session timezone
+    want = (sessions(events.withColumn("ts", F.col("ts").cast("timestamp")))
+            .orderBy("user_id", "session_start_s").collect())
     assert len(got) == len(want) > 0
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
