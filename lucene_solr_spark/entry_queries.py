@@ -5276,6 +5276,300 @@ def dedup_embedding_lsh(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Math-eval geometry / clustering / spectral tiers (the remaining
+# solrj/io/eval evaluator families the round-4 verdict listed).
+# ---------------------------------------------------------------------------
+
+@register("math_eval_convex_hull", """
+WITH p AS (
+  SELECT round(CAST(embedding[1] AS DOUBLE), 6) AS x,
+         round(CAST(embedding[2] AS DOUBLE), 6) AS y
+  FROM embeddings WHERE vec_id < 150
+),
+ux AS (SELECT x, max(y) AS y FROM p GROUP BY x),
+lx AS (SELECT x, min(y) AS y FROM p GROUP BY x),
+up AS (
+  SELECT u.x, u.y FROM ux u
+  WHERE u.x = (SELECT min(x) FROM ux) OR u.x = (SELECT max(x) FROM ux)
+     OR NOT EXISTS (
+          SELECT 1 FROM ux q, ux r
+          WHERE q.x < u.x AND r.x > u.x
+            AND (r.x - q.x) * (u.y - q.y)
+                - (r.y - q.y) * (u.x - q.x) <= 0)
+),
+lo AS (
+  SELECT l.x, l.y FROM lx l
+  WHERE l.x = (SELECT min(x) FROM lx) OR l.x = (SELECT max(x) FROM lx)
+     OR NOT EXISTS (
+          SELECT 1 FROM lx q, lx r
+          WHERE q.x < l.x AND r.x > l.x
+            AND (r.x - q.x) * (l.y - q.y)
+                - (r.y - q.y) * (l.x - q.x) >= 0)
+)
+SELECT 'U' AS side, x, y FROM up
+UNION ALL
+SELECT 'L' AS side, x, y FROM lo
+""")
+def math_eval_convex_hull(spark, sf_dir):
+    """convexHull() evaluator (solrj/.../io/eval/
+    ConvexHullEvaluator.java:38) over the (dim1, dim2) projection of
+    150 embeddings: STRICT upper+lower hull vertices (collinear
+    midpoints excluded) via Andrew's monotone chain.
+
+    Scale shape: the corpus is pruned DISTRIBUTEDLY to the per-x
+    extreme candidates (hull vertices must be per-x max/min — one
+    bounded groupBy), only those collect to the driver (capped), and
+    the O(m log m) chain runs on the candidate set — never an
+    all-pairs join. The oracle characterizes a strict vertex
+    relationally: no candidate pair straddles it with the point on or
+    below (above) the segment; coordinates are pre-rounded to 6 so the
+    cross products are computed on identical doubles in both engines."""
+    import numpy as _np
+
+    pts = (load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 150)
+           .select(F.round(F.element_at("embedding", 1).cast("double"), 6)
+                   .alias("x"),
+                   F.round(F.element_at("embedding", 2).cast("double"), 6)
+                   .alias("y")))
+    cand = (pts.groupBy("x")
+            .agg(F.max("y").alias("ymax"), F.min("y").alias("ymin"))
+            .orderBy("x").limit(1_000_000).collect())
+    xs = _np.array([r["x"] for r in cand])
+    ymax = _np.array([r["ymax"] for r in cand])
+    ymin = _np.array([r["ymin"] for r in cand])
+
+    def chain(x, y, upper: bool):
+        # strict monotone chain: pop on cross <= 0 (upper) — collinear
+        # points never become vertices (matches the SQL NOT EXISTS)
+        hull = []
+        for xi, yi in zip(x, y):
+            while len(hull) >= 2:
+                (x1, y1), (x2, y2) = hull[-2], hull[-1]
+                cr = (xi - x1) * (y2 - y1) - (yi - y1) * (x2 - x1)
+                if (cr <= 0 if upper else cr >= 0):
+                    hull.pop()
+                else:
+                    break
+            hull.append((xi, yi))
+        return hull
+
+    rows = ([("U", float(x), float(y)) for x, y in chain(xs, ymax, True)]
+            + [("L", float(x), float(y)) for x, y in chain(xs, ymin, False)])
+    return spark.createDataFrame(rows, "side string, x double, y double")
+
+
+def _kmeans_sql(k: int = 4, dim: int = 64, iters: int = 2) -> str:
+    """Unrolled Lloyd iterations in DuckDB: assignment by squared
+    euclidean argmin (tie -> smaller cid), per-dim mean update with
+    centroids ROUNDED to 6 each iteration so both engines quantize to
+    identical doubles before the next assignment."""
+    def assign(cent_cte: str, name: str) -> str:
+        # cross join + window argmin (a correlated ORDER BY subquery
+        # can't bind outer columns inside a DuckDB lambda)
+        return f"""{name} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(generate_series(1, {dim}),
+                      i -> pow(e.v[i] - c.cvec[i], 2))) ASC, c.cid ASC) AS rn
+    FROM emb e CROSS JOIN {cent_cte} c)
+  WHERE rn = 1)"""
+
+    def update(a_cte: str, name: str) -> str:
+        return f"""{name}_u AS (
+  SELECT cid, i.i AS i, round(avg(v[i.i]), 6) AS m
+  FROM {a_cte}, LATERAL (SELECT unnest(generate_series(1, {dim})) AS i) i
+  GROUP BY cid, i.i),
+{name} AS (SELECT cid, list(m ORDER BY i) AS cvec FROM {name}_u GROUP BY cid)"""
+
+    parts = [f"""emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings WHERE vec_id < {k})"""]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        parts.append(assign(prev, f"a{it}"))
+        parts.append(update(f"a{it}", f"c{it}"))
+        prev = f"c{it}"
+    parts.append(assign(prev, "af"))
+    return f"""
+WITH {','.join(parts)}
+SELECT a.cid,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(list_sum(list_transform(generate_series(1, {dim}),
+             i -> pow(a.v[i] - c.cvec[i], 2)))), 6) AS inertia,
+       round(sqrt(list_sum(list_transform(generate_series(1, {dim}),
+             i -> c.cvec[i] * c.cvec[i]))), 6) AS centroid_norm
+FROM af a JOIN {prev} c ON a.cid = c.cid
+GROUP BY a.cid, c.cvec
+"""
+
+
+@register("math_eval_kmeans", _kmeans_sql())
+def math_eval_kmeans(spark, sf_dir):
+    """kmeans() evaluator (solrj/.../io/eval/KmeansEvaluator.java:43):
+    REAL Lloyd iterations, distributed — deterministic init (the first
+    k embeddings), 2 assign/update rounds, then a final assignment
+    report (cluster size, inertia, centroid norm).
+
+    Scale shape: centroids are k x dim TINY and live on the driver
+    (collected after each per-dim mean — a k*dim-row aggregate);
+    assignment is a map-only expression over a broadcast centroid
+    literal, update is one groupBy(cid, dim) with map-side partial
+    aggregation. Centroids are rounded to 6 after every update so
+    both engines quantize to identical doubles before the next
+    assignment (no summation-order drift can flip an argmin)."""
+    import numpy as _np
+
+    K, DIM, ITERS = 4, 64, 2
+    emb = (load(spark, sf_dir, "embeddings")
+           .select("vec_id", F.col("embedding").cast("array<double>")
+                   .alias("v")))
+    cents = {int(r["vec_id"]): list(r["v"]) for r in
+             emb.where(F.col("vec_id") < K).collect()}
+
+    def assign(df, cents_):
+        d2 = None
+        cid = None
+        for c in sorted(cents_):
+            lit = F.array(*[F.lit(float(x)) for x in cents_[c]])
+            dist = F.aggregate(
+                F.zip_with("v", lit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x)
+            if d2 is None:
+                d2, cid = dist, F.lit(c)
+            else:
+                # strict < keeps the earlier (smaller) cid on ties
+                cid = F.when(dist < d2, F.lit(c)).otherwise(cid)
+                d2 = F.when(dist < d2, dist).otherwise(d2)
+        return df.select("vec_id", "v", cid.alias("cid"), d2.alias("d2"))
+
+    for _ in range(ITERS):
+        a = assign(emb, cents)
+        rows = (a.select("cid", F.posexplode("v").alias("i", "val"))
+                .groupBy("cid", "i").agg(F.round(F.avg("val"), 6).alias("m"))
+                .collect())
+        cents = {}
+        for r in rows:
+            cents.setdefault(int(r["cid"]), [0.0] * DIM)[int(r["i"])] = float(r["m"])
+    final = assign(emb, cents)
+    norms = {c: float(_np.sqrt(_np.sum(_np.array(v) ** 2))) for c, v in cents.items()}
+    norm_col = F.lit(None).cast("double")
+    for c in sorted(norms):
+        norm_col = F.when(F.col("cid") == c, F.lit(norms[c])).otherwise(norm_col)
+    return (final.groupBy("cid")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.round(F.sum("d2"), 6).alias("inertia"))
+            .withColumn("centroid_norm", F.round(norm_col, 6))
+            .select("cid", "n", "inertia", "centroid_norm"))
+
+
+@register("math_eval_fft", """
+WITH s AS (
+  SELECT row_number() OVER (ORDER BY event_id) - 1 AS n, value AS x
+  FROM (SELECT event_id, value FROM events ORDER BY event_id LIMIT 64)
+),
+dft AS (
+  SELECT k.k, s.n, s.x,
+         cos(2 * pi() * k.k * s.n / 64.0) AS c,
+         sin(2 * pi() * k.k * s.n / 64.0) AS si
+  FROM s, LATERAL (SELECT unnest(generate_series(0, 63)) AS k) k
+)
+SELECT k,
+       round(sum(x * c), 6) AS re,
+       round(-sum(x * si), 6) AS im,
+       round(sqrt(sum(x * c) * sum(x * c) + sum(x * si) * sum(x * si)), 6)
+         AS mag
+FROM dft GROUP BY k
+""")
+def math_eval_fft(spark, sf_dir):
+    """fft() evaluator (solrj/.../io/eval/FFTEvaluator.java:36): the
+    64-point DFT of the first 64 event values — X_k = sum_n x_n
+    e^(-2 pi i k n / 64), emitted as (re, im, magnitude) per bin.
+    Expressed as the relational DFT (series x frequency grid, one
+    groupBy(k) with map-side partial agg — the O(N^2) form; the
+    O(N log N) butterfly is an execution detail the evaluator's
+    contract doesn't expose). 64x64 rows; both engines compute
+    cos/sin on identical doubles."""
+    import math as _math
+
+    from pyspark.sql import Window as _W
+
+    ev = (load(spark, sf_dir, "events").select("event_id", "value")
+          .orderBy("event_id").limit(64))
+    s = ev.select(
+        (F.row_number().over(_W.orderBy("event_id")) - 1).alias("n"),
+        F.col("value").alias("x"))
+    ks = spark.range(64).select(F.col("id").alias("k"))
+    dft = s.crossJoin(F.broadcast(ks)).select(
+        "k", "x",
+        F.cos(2 * _math.pi * F.col("k") * F.col("n") / 64.0).alias("c"),
+        F.sin(2 * _math.pi * F.col("k") * F.col("n") / 64.0).alias("si"))
+    return (dft.groupBy("k")
+            .agg(F.round(F.sum(F.col("x") * F.col("c")), 6).alias("re"),
+                 F.round(-F.sum(F.col("x") * F.col("si")), 6).alias("im"),
+                 F.round(F.sqrt(
+                     F.sum(F.col("x") * F.col("c")) * F.sum(F.col("x") * F.col("c"))
+                     + F.sum(F.col("x") * F.col("si")) * F.sum(F.col("x") * F.col("si"))
+                 ), 6).alias("mag")))
+
+
+@register("func_math_tail", """
+SELECT event_id,
+       round(sin(value / 100.0), 6) AS f_sin,
+       round(cos(value / 100.0), 6) AS f_cos,
+       round(tan(value / 100.0), 6) AS f_tan,
+       round(atan(value / 100.0), 6) AS f_atan,
+       round((exp(value / 100.0) - exp(-value / 100.0)) / 2, 6) AS f_sinh,
+       round((exp(value / 100.0) + exp(-value / 100.0)) / 2, 6) AS f_cosh,
+       round(sqrt(abs(value)), 6) AS f_sqrt,
+       round(cbrt(value), 6) AS f_cbrt,
+       round(exp(value / 100.0), 6) AS f_exp,
+       round(ln(1 + abs(value)), 6) AS f_ln,
+       round(log10(1 + abs(value)), 6) AS f_log,
+       round(atan2(value, 1 + user_id % 100), 6) AS f_atan2,
+       round(sqrt(value * value + pow(user_id % 100, 2)), 6) AS f_hypot,
+       ceil(value) AS f_ceil,
+       floor(value) AS f_floor,
+       round(pow(value / 10.0, 3), 6) AS f_pow,
+       CAST(user_id % 7 AS BIGINT) AS f_mod
+FROM events WHERE event_id <= 200
+""")
+def func_math_tail(spark, sf_dir):
+    """The MathValueSourceParser one-liner tail (reference
+    solr/core/.../search/ValueSourceParser.java:82 registrations:
+    sin/cos/tan/atan/sinh/cosh/sqrt/cbrt/exp/ln/log/atan2/hypot/
+    ceil/floor/pow/mod) — each a 1:1 codegen expression over the
+    events table; sinh/cosh written in exp form so both engines
+    evaluate the identical expression tree."""
+    ev = load(spark, sf_dir, "events").where(F.col("event_id") <= 200)
+    v = F.col("value")
+    sv = v / 100.0
+    uid = F.col("user_id") % 100
+    return ev.select(
+        "event_id",
+        F.round(F.sin(sv), 6).alias("f_sin"),
+        F.round(F.cos(sv), 6).alias("f_cos"),
+        F.round(F.tan(sv), 6).alias("f_tan"),
+        F.round(F.atan(sv), 6).alias("f_atan"),
+        F.round((F.exp(sv) - F.exp(-sv)) / 2, 6).alias("f_sinh"),
+        F.round((F.exp(sv) + F.exp(-sv)) / 2, 6).alias("f_cosh"),
+        F.round(F.sqrt(F.abs(v)), 6).alias("f_sqrt"),
+        F.round(F.cbrt(v), 6).alias("f_cbrt"),
+        F.round(F.exp(sv), 6).alias("f_exp"),
+        F.round(F.log(F.lit(1) + F.abs(v)), 6).alias("f_ln"),
+        F.round(F.log10(F.lit(1) + F.abs(v)), 6).alias("f_log"),
+        F.round(F.atan2(v, (F.lit(1) + uid).cast("double")), 6).alias("f_atan2"),
+        F.round(F.sqrt(v * v + F.pow(uid.cast("double"), 2)), 6).alias("f_hypot"),
+        F.ceil(v).alias("f_ceil"),
+        F.floor(v).alias("f_floor"),
+        F.round(F.pow(v / 10.0, 3), 6).alias("f_pow"),
+        (F.col("user_id") % 7).cast("bigint").alias("f_mod"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-gate ordering: the correctness driver hard-checks the FIRST 50
 # registry entries vs DuckDB. Promote ten persisted-segment-index entries
 # (the declared 100-TB scale path: codec decode, manifest, chamber build,
