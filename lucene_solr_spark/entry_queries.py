@@ -4041,13 +4041,15 @@ def ft_stemmed_term(spark, sf_dir):
     )
 
 
-_LIGHT_SUFFIXES = ("", "es", "en", "ation")
+_LIGHT_SUFFIXES = ("", "es", "en", "ation", "ene", "heter")
 # russian_light is omitted: the synthetic corpus is ASCII, so the
 # Cyrillic suffix rules never fire (it is covered by the 49,673-pair
 # vocabulary test in tests/test_stem.py instead)
 _LIGHT_LANGS = ("english_minimal", "finnish_light", "french_light",
                 "german_light", "hungarian_light", "italian_light",
-                "portuguese_light", "spanish_light", "swedish_light")
+                "portuguese_light", "spanish_light", "swedish_light",
+                "norwegian_light", "norwegian_minimal", "czech",
+                "latvian")
 
 
 def _light_stemmers_sql() -> str:

@@ -784,6 +784,187 @@ def finnish_light_stem(word: str) -> str:
     return w
 
 
+def _no_light_stem(word: str, bokmaal: bool, nynorsk: bool) -> str:
+    """NorwegianLightStemmer (Savoy CLEF light-stemmer family;
+    reference: analysis/common/.../no/NorwegianLightStemmer.java:87-175):
+    possessive -s, then one pass down the Bokmål/Nynorsk suffix ladder."""
+    w = word
+    n = len(w)
+    if n > 4 and w[n - 1] == "s":
+        n -= 1
+        w = w[:n]
+    if n > 7 and ((bokmaal and w[n - 5:] in ("heter", "heten"))
+                  or (nynorsk and w.endswith("heita"))):
+        return w[:n - 5]
+    if n > 8 and nynorsk and w[n - 6:] in ("heiter", "leiken", "leikar"):
+        return w[:n - 6]
+    if n > 5 and (w.endswith("dom") or (bokmaal and w.endswith("het"))):
+        return w[:n - 3]
+    if n > 6 and nynorsk and w[n - 4:] in ("heit", "semd", "leik"):
+        return w[:n - 4]
+    if n > 7 and w[n - 5:] in ("elser", "elsen"):
+        return w[:n - 5]
+    if n > 6 and ((bokmaal and w[n - 4:] in ("ende", "este", "eren"))
+                  or (nynorsk and w[n - 4:] in ("ande", "aste", "aren"))
+                  or w.endswith("else")):
+        return w[:n - 4]
+    if n > 5 and ((bokmaal and w[n - 3:] in ("ere", "est"))
+                  or (nynorsk and w[n - 3:] in ("are", "ast", "ane"))
+                  or w.endswith("ene")):
+        return w[:n - 3]
+    if n > 4 and (w[n - 2:] in ("er", "en", "et", "te")
+                  or (nynorsk and w.endswith("ar"))
+                  or (bokmaal and w.endswith("st"))):
+        return w[:n - 2]
+    if n > 3 and w[n - 1] in "aen":
+        return w[:n - 1]
+    return w
+
+
+@lru_cache(maxsize=65536)
+def norwegian_light_stem(word: str) -> str:
+    """Bokmål light stem (the filter's default flag set;
+    NorwegianLightStemFilter.java:44-47)."""
+    return _no_light_stem(word, True, False)
+
+
+@lru_cache(maxsize=65536)
+def norwegian_nn_light_stem(word: str) -> str:
+    """Nynorsk light stem (NorwegianLightStemmer NYNORSK flag)."""
+    return _no_light_stem(word, False, True)
+
+
+@lru_cache(maxsize=65536)
+def norwegian_minimal_stem(word: str) -> str:
+    """NorwegianMinimalStemmer (Bokmål): known noun plural forms +
+    genitive -s only (reference:
+    analysis/common/.../no/NorwegianMinimalStemmer.java:82-112)."""
+    w = word
+    n = len(w)
+    if n > 4 and w[n - 1] == "s":
+        n -= 1
+        w = w[:n]
+    if n > 5 and w.endswith("ene"):
+        return w[:n - 3]
+    if n > 4 and w[n - 2:] in ("er", "en", "et"):
+        return w[:n - 2]
+    if n > 3 and w[n - 1] in "ae":
+        return w[:n - 1]
+    return w
+
+
+_CZ_3 = ("ech", "ich", "ích", "ého", "ěmi", "emi", "ému", "ěte", "ete",
+         "ěti", "eti", "ího", "iho", "ími", "ímu", "imu", "ách", "ata",
+         "aty", "ých", "ama", "ami", "ové", "ovi", "ými")
+_CZ_2 = ("em", "es", "ém", "ím", "ům", "at", "ám", "os", "us", "ým",
+         "mi", "ou")
+
+
+@lru_cache(maxsize=65536)
+def czech_stem(word: str) -> str:
+    """CzechStemmer (Dolamic & Savoy, "Indexing and stemming approaches
+    for the Czech language"): case-ending removal, possessive removal,
+    final palatalization normalization (reference:
+    analysis/common/.../cz/CzechStemmer.java:44-172)."""
+    w = word
+    n = len(w)
+    # removeCase
+    if n > 7 and w.endswith("atech"):
+        w = w[:n - 5]
+    elif n > 6 and w[n - 4:] in ("ětem", "etem", "atům"):
+        w = w[:n - 4]
+    elif n > 5 and w[n - 3:] in _CZ_3:
+        w = w[:n - 3]
+    elif n > 4 and w[n - 2:] in _CZ_2:
+        w = w[:n - 2]
+    elif n > 3 and w[n - 1] in "aeiouůyáéíýě":
+        w = w[:n - 1]
+    # removePossessives
+    n = len(w)
+    if n > 5 and w[n - 2:] in ("ov", "in", "ův"):
+        w = w[:n - 2]
+    # normalize
+    n = len(w)
+    if n == 0:
+        return w
+    if w.endswith("čt"):
+        return w[:n - 2] + "ck"
+    if w.endswith("št"):
+        return w[:n - 2] + "sk"
+    if w[n - 1] in "cč":
+        return w[:n - 1] + "k"
+    if w[n - 1] in "zž":
+        return w[:n - 1] + "h"
+    if n > 1 and w[n - 2] == "e":
+        return w[:n - 2] + w[n - 1]  # e* > *
+    if n > 2 and w[n - 2] == "ů":
+        return w[:n - 2] + "o" + w[n - 1]  # *ů* -> *o*
+    return w
+
+
+#: (suffix, min vowel count in the word beyond the suffix's own,
+#:  fires palatalization) — order matters (longest-match ladder),
+#: LatvianStemmer.java:53-72
+_LV_AFFIXES = (
+    ("ajiem", 3, False), ("ajai", 3, False), ("ajam", 2, False),
+    ("ajām", 2, False), ("ajos", 2, False), ("ajās", 2, False),
+    ("iem", 2, True), ("ajā", 2, False), ("ais", 2, False),
+    ("ai", 2, False), ("ei", 2, False), ("ām", 1, False),
+    ("am", 1, False), ("ēm", 1, False), ("īm", 1, False),
+    ("im", 1, False), ("um", 1, False), ("us", 1, True),
+    ("as", 1, False), ("ās", 1, False), ("es", 1, False),
+    ("os", 1, True), ("ij", 1, False), ("īs", 1, False),
+    ("ēs", 1, False), ("is", 1, False), ("ie", 1, False),
+    ("u", 1, True), ("a", 1, True), ("i", 1, True),
+    ("e", 1, False), ("ā", 1, False), ("ē", 1, False),
+    ("ī", 1, False), ("ū", 1, False), ("o", 1, False),
+    ("s", 0, False), ("š", 0, False),
+)
+
+_LV_VOWELS = set("aeiouāīēū")
+
+
+def _lv_unpalatalize(w: str, removed: str) -> str:
+    """LatvianStemmer.unpalatalize (reference .java:96-156): undo
+    declension II/V/VI palatalization after the suffix strip. `removed`
+    is the first character of the stripped suffix (s[len] in the Java,
+    the char just past the new end)."""
+    if removed == "u":
+        if w.endswith("kš"):
+            return w[:-2] + "kst"
+        if w.endswith("ņņ"):
+            return w[:-2] + "nn"
+    if w[-2:] in ("pj", "bj", "mj", "vj"):
+        return w[:-1]
+    for old, new in (("šņ", "sn"), ("žņ", "zn"), ("šļ", "sl"),
+                     ("žļ", "zl"), ("ļņ", "ln"), ("ļļ", "ll")):
+        if w.endswith(old):
+            return w[:-2] + new
+    if w.endswith("č"):
+        return w[:-1] + "c"
+    if w.endswith("ļ"):
+        return w[:-1] + "l"
+    if w.endswith("ņ"):
+        return w[:-1] + "n"
+    return w
+
+
+@lru_cache(maxsize=65536)
+def latvian_stem(word: str) -> str:
+    """LatvianStemmer (light stemmer, Latvian declension I-VI case/
+    number endings + definite adjective endings; reference:
+    analysis/common/.../lv/LatvianStemmer.java:38-52): strip the first
+    matching affix whose removal leaves at least one vowel and >= 3
+    chars, firing unpalatalization for II/V/VI noun suffixes."""
+    w = word
+    nv = sum(1 for ch in w if ch in _LV_VOWELS)
+    for affix, vc, palatalizes in _LV_AFFIXES:
+        if nv > vc and len(w) >= len(affix) + 3 and w.endswith(affix):
+            stem = w[: len(w) - len(affix)]
+            return _lv_unpalatalize(stem, affix[0]) if palatalizes else stem
+    return w
+
+
 #: dictionary-level stemmer registry for the light-analyzer chains
 LIGHT_STEMMERS = {
     "german_light": german_light_stem,
@@ -796,4 +977,9 @@ LIGHT_STEMMERS = {
     "russian_light": russian_light_stem,
     "hungarian_light": hungarian_light_stem,
     "finnish_light": finnish_light_stem,
+    "norwegian_light": norwegian_light_stem,
+    "norwegian_nn_light": norwegian_nn_light_stem,
+    "norwegian_minimal": norwegian_minimal_stem,
+    "czech": czech_stem,
+    "latvian": latvian_stem,
 }
