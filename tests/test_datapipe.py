@@ -325,3 +325,41 @@ def test_byte_features_match_numpy(spark):
         assert rows[did]["std_byte"] == round(float(arr.astype(float).std()), 6)
         assert rows[did]["byte_entropy"] == round(float(-(p * np.log(p)).sum()), 6)
         assert rows[did]["n_distinct_bytes"] == int((counts > 0).sum())
+
+
+def test_lsh_bucket_cap_star_fallback(spark):
+    """Megacluster skew immunity: a bucket larger than bucket_cap must
+    emit star edges (rep = min id) instead of quadratic pairwise
+    expansion — same connected components, bounded pair count — while
+    small-bucket behavior stays exact."""
+    import pandas as pd
+
+    from lucene_solr_spark.datapipe import dedup
+
+    # 60 identical docs (one giant bucket) + 2 distinct near-dup docs
+    docs = [(i, "the quick brown fox jumps over the lazy dog") for i in range(60)]
+    docs += [(100, "completely different text about spark engines"),
+             (101, "completely different text about spark engines")]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+
+    capped = dedup.simhash_near_pairs(df, bucket_cap=16).toPandas()
+    exact = dedup.simhash_near_pairs(df, bucket_cap=10**9).toPandas()
+    # star edges: every member of the megacluster connects to doc 0
+    star = capped[(capped["a"] == 0)]
+    assert len(star) == 59, len(star)
+    # pair count bounded: 59 star edges + the small pair, NOT C(60,2)
+    assert len(capped) == 60, len(capped)
+    assert len(exact) == 59 * 60 // 2 + 1
+    assert {(100, 101)} <= set(map(tuple, capped[["a", "b"]].values))
+    # components identical under either expansion
+    ids = df.select("doc_id")
+    comp_c = dedup.connected_components(
+        capped_df := spark.createDataFrame(capped[["a", "b"]]), ids).toPandas()
+    comp_e = dedup.connected_components(
+        spark.createDataFrame(exact[["a", "b"]]), ids).toPandas()
+    assert comp_c.sort_values("doc_id").reset_index(drop=True).equals(
+        comp_e.sort_values("doc_id").reset_index(drop=True))
+
+    mh_capped = dedup.minhash_lsh_pairs(df, bucket_cap=16).toPandas()
+    assert len(mh_capped[mh_capped["a"] == 0]) == 59
+    assert (mh_capped["est_jaccard"] >= 0.5).all()
