@@ -23,6 +23,33 @@ _MALLOC_TUNING = {
 }
 
 
+def _purge_stale_local_dirs(local_dir: str) -> None:
+    """Remove spark-local scratch dirs left by DEAD JVMs. Killed
+    drivers (timeouts, OOM kills) never run their shutdown hooks, so
+    their shuffle/spill files leak; on a tmpfs local dir that leak is
+    RAM — measured 106 GB of stale spill from killed benchmark JVMs
+    OOM-killing the next run on this 128 GB box. Spark names the dirs
+    spark-<uuid> with a pid-less layout, so liveness is inferred from
+    mtime age + no open file handles (best effort: any dir not touched
+    for an hour can't belong to a live shuffle)."""
+    import shutil
+    import time as _t
+
+    if not os.path.isdir(local_dir) or not local_dir.startswith("/dev/shm"):
+        return
+    cutoff = _t.time() - 3600
+    try:
+        for name in os.listdir(local_dir):
+            p = os.path.join(local_dir, name)
+            try:
+                if os.path.isdir(p) and os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                continue
+    except OSError:
+        pass
+
+
 def get_spark(app_name: str = "lucene_solr_spark", master: str | None = None,
               shuffle_partitions: int | None = None):
     from pyspark.sql import SparkSession
@@ -31,6 +58,9 @@ def get_spark(app_name: str = "lucene_solr_spark", master: str | None = None,
     # inherits this process's environment — set before JVM launch
     for k, v in _MALLOC_TUNING.items():
         os.environ.setdefault(k, v)
+    _purge_stale_local_dirs(os.environ.get(
+        "SPARK_GRAFT_LOCAL_DIR",
+        "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp"))
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
