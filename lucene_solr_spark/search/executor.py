@@ -1214,23 +1214,54 @@ class Searcher:
         if not live or n <= 0:
             return self.reader.spark.createDataFrame(
                 [], "doc_id long, passage long, score double")
-        idf_col = F.lit(0.0)
-        for t in live:
-            idf_col = F.when(
-                F.col("term") == t, F.lit(sims.idf_bm25(stats[t][0], n))
-            ).otherwise(idf_col)
-        occ = self.reader.live(self._decode_positions_df(live)).select(
-            "doc_id",
-            F.floor((F.col("pos") - 1) / float(window)).cast("long").alias("passage"),
-            idf_col.alias("w"),
-        )
+        idf_of = {t: float(sims.idf_bm25(stats[t][0], n)) for t in live}
+        spark = self.reader.spark
+        bc = spark.sparkContext.broadcast({"idf": idf_of, "window": window})
+
+        def decode_passages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # map-side passage combine: per block, bucket positions by
+            # floor(pos/window) and emit ONE row per (doc, passage)
+            # with the idf-weighted partial sum — the shuffle carries
+            # ~positions/window rows instead of one row per position
+            # (PassageScorer's per-passage accumulation, batched)
+            info = bc.value
+            win = info["window"]
+            for pdf in batches:
+                out_doc, out_pass, out_w = [], [], []
+                for term, blob, pb in _zip_blocks_pos(pdf):
+                    doc_ids, tfs, norms, pos = decode_block_positions(
+                        bytes(blob), pb)
+                    if len(doc_ids) == 0:
+                        continue
+                    widf = info["idf"].get(term, 0.0)
+                    docs_exp = np.repeat(doc_ids, tfs)
+                    pas = pos.astype(np.int64) // win  # 0-based positions
+                    key = docs_exp * np.int64(1 << 22) + pas
+                    uk, cnt = np.unique(key, return_counts=True)
+                    out_doc.append(uk >> 22)
+                    out_pass.append(uk & ((1 << 22) - 1))
+                    out_w.append(cnt.astype(np.float64) * widf)
+                if out_doc:
+                    yield pd.DataFrame({
+                        "doc_id": np.concatenate(out_doc),
+                        "passage": np.concatenate(out_pass),
+                        "w": np.concatenate(out_w),
+                    })
+
+        src = self.reader.blocks.where(F.col("term").isin(live))
+        occ = self.reader.live(
+            src.select(*_pos_cols(src)).mapInPandas(
+                decode_passages, "doc_id long, passage long, w double"))
         scored = occ.groupBy("doc_id", "passage").agg(F.sum("w").alias("score"))
-        rn = F.row_number().over(
-            Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("passage"))
-        )
-        best = scored.withColumn("rn", rn).where(F.col("rn") == 1).drop("rn")
+        # best passage per doc WITHOUT a second (window) shuffle:
+        # max_by struct ordered (score, -passage) == score desc,
+        # passage asc tie-break
+        best = scored.groupBy("doc_id").agg(
+            F.max(F.struct(F.col("score"), (-F.col("passage")).alias("np"),
+                           F.col("passage"))).alias("b"))
         return (
-            best.select("doc_id", "passage", F.round("score", 6).alias("score"))
+            best.select("doc_id", F.col("b.passage").alias("passage"),
+                        F.round("b.score", 6).alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )
